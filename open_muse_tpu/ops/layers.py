@@ -1,0 +1,204 @@
+"""Shared linen building blocks used across model families.
+
+These replace the reference's hand-rolled torch layers *and* its optional CUDA
+fused ops in one go: under ``jax.jit`` XLA fuses residual-add + norm and
+GELU/GLU into neighbouring matmuls, which is exactly what the reference needed
+flash_attn's ``dropout_add_rms_norm`` / ``fused_mlp_func`` for
+(muse/modeling_transformer_v2.py:41-54,645-738,954-996).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "RMSNorm",
+    "LayerNorm",
+    "Norm",
+    "GlobalResponseNorm",
+    "AdaLNModulation",
+    "sinusoidal_encode",
+    "Attention",
+]
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm with optional fused residual-add prenorm semantics.
+
+    ``__call__(x)`` -> normed; ``__call__(x, residual)`` -> (normed, x+residual)
+    matching the reference's prenorm-returning-residual contract
+    (muse/modeling_transformer_v2.py:661-691).  Variance always in fp32.
+    """
+
+    dim: int
+    eps: float = 1e-6
+    elementwise_affine: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, return_residual: bool = False):
+        if residual is not None:
+            x = x + residual
+        prenorm_residual = x
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        out = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        if self.elementwise_affine:
+            scale = self.param("scale", nn.initializers.ones, (self.dim,))
+            out = out * scale.astype(out.dtype)
+        if residual is not None or return_residual:
+            return out, prenorm_residual
+        return out
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm (optional bias / affine) with the same fused-residual
+    contract as RMSNorm (reference muse/modeling_transformer_v2.py:694-738)."""
+
+    dim: int
+    eps: float = 1e-5
+    use_bias: bool = False
+    elementwise_affine: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, return_residual: bool = False):
+        if residual is not None:
+            x = x + residual
+        prenorm_residual = x
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        out = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        if self.elementwise_affine:
+            scale = self.param("scale", nn.initializers.ones, (self.dim,))
+            out = out * scale.astype(out.dtype)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+                out = out + bias.astype(out.dtype)
+        if residual is not None or return_residual:
+            return out, prenorm_residual
+        return out
+
+
+def Norm(dim, norm_type: str = "layernorm", eps: float = 1e-5,
+         use_bias: bool = False, elementwise_affine: bool = True, name=None,
+         dtype=jnp.float32):
+    """Factory mirroring reference Norm dispatch
+    (muse/modeling_transformer_v2.py:636-642)."""
+    if norm_type == "layernorm":
+        return LayerNorm(dim, eps=eps, use_bias=use_bias,
+                         elementwise_affine=elementwise_affine, name=name, dtype=dtype)
+    if norm_type == "rmsnorm":
+        return RMSNorm(dim, eps=eps, elementwise_affine=elementwise_affine,
+                       name=name, dtype=dtype)
+    raise ValueError(f"unknown norm_type {norm_type}")
+
+
+class GlobalResponseNorm(nn.Module):
+    """ConvNeXt-V2 GRN over NHWC tensors
+    (reference muse/modeling_transformer_v2.py:741-751)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, self.dim))
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, self.dim))
+        gx = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return gamma.astype(x.dtype) * (x * nx.astype(x.dtype)) + beta.astype(x.dtype) + x
+
+
+class AdaLNModulation(nn.Module):
+    """scale/shift conditioning: x * (1+scale) + shift from silu(cond)
+    (reference muse/modeling_transformer_v2.py:1025-1037)."""
+
+    cond_embed_dim: int
+    hidden_size: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, cond_embeds):
+        cond = jax.nn.silu(cond_embeds)
+        mapped = nn.Dense(self.hidden_size * 2, use_bias=self.use_bias,
+                          dtype=self.dtype, name="mapper")(cond)
+        scale, shift = jnp.split(mapped, 2, axis=-1)
+        # broadcast over all non-(batch, channel) dims
+        extra = hidden_states.ndim - 2
+        shape = (scale.shape[0],) + (1,) * extra + (scale.shape[-1],)
+        scale = scale.reshape(shape)
+        shift = shift.reshape(shape)
+        return hidden_states * (1 + scale) + shift
+
+
+def sinusoidal_encode(features, embedding_dim: int, max_positions: float = 10000):
+    """[cos | sin] sinusoidal features for micro-conditioning
+    (reference muse/modeling_transformer_v2.py:59-76)."""
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / half_dim
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = features.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.cos(emb), jnp.sin(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def dot_product_attention(query, key, value, scale: Optional[float] = None):
+    """(B, T, H, D) attention with fp32 softmax accumulation.
+
+    Sequence lengths in this model family are small (<=1024 image + 77 text
+    tokens), so a plain fused-by-XLA attention saturates the MXU; this is the
+    TPU answer to xformers memory_efficient_attention
+    (muse/modeling_transformer_v2.py:881-889).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(query.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", query, key,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(query.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, value)
+
+
+class Attention(nn.Module):
+    """Multi-head self/cross attention (reference
+    muse/modeling_transformer_v2.py:834-916).  Param names (query/key/value/
+    out) match the torch attribute names for mechanical weight conversion."""
+
+    hidden_size: int
+    num_heads: int
+    context_dim: Optional[int] = None
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, context=None, attention_mask=None):
+        if context is None:
+            context = hidden_states
+        head_dim = self.hidden_size // self.num_heads
+        dense = lambda name: nn.Dense(self.hidden_size, use_bias=self.use_bias,
+                                      dtype=self.dtype, name=name)
+        q = dense("query")(hidden_states)
+        k = dense("key")(context)
+        v = dense("value")(context)
+        batch, q_len = q.shape[:2]
+        kv_len = k.shape[1]
+        q = q.reshape(batch, q_len, self.num_heads, head_dim)
+        k = k.reshape(batch, kv_len, self.num_heads, head_dim)
+        v = v.reshape(batch, kv_len, self.num_heads, head_dim)
+        if attention_mask is not None:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) / math.sqrt(head_dim)
+            logits = jnp.where(attention_mask, jnp.finfo(jnp.float32).min, logits)
+            weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        else:
+            attn = dot_product_attention(q, k, v)
+        attn = attn.reshape(batch, q_len, self.hidden_size)
+        return dense("out")(attn)

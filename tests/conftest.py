@@ -1,0 +1,47 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+
+This is the JAX-native way to exercise multi-device GSPMD sharding without TPU
+hardware (SURVEY.md §4): XLA's CPU backend is split into 8 virtual devices.
+"""
+
+import os
+import sys
+
+# NOTE: on this machine the axon TPU plugin ignores JAX_PLATFORMS; the legacy
+# JAX_PLATFORM_NAME is honoured, plus jax.config as a belt-and-braces measure.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Path to the read-only PyTorch reference implementation; parity tests are
+# skipped when it (or torch) is unavailable.
+REFERENCE_PATH = os.environ.get("MUSE_REFERENCE_PATH", "/root/reference")
+
+
+def has_reference():
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return False
+    return os.path.isdir(os.path.join(REFERENCE_PATH, "muse"))
+
+
+def import_reference_muse():
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import muse  # noqa: F401
+
+    return muse
