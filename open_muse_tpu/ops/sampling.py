@@ -31,7 +31,7 @@ __all__ = [
 
 def log(t, eps: float = 1e-20):
     # reference muse/sampling.py:9 — log with clamp for numerical safety
-    return jnp.log(jnp.clip(t, a_min=eps))
+    return jnp.log(jnp.clip(t, min=eps))
 
 
 def gumbel_noise(key, shape, dtype=jnp.float32):
