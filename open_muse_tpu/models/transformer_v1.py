@@ -350,7 +350,11 @@ class MaskGitTransformer(ModelMixin):
         # static per-step schedules -> stacked arrays indexed inside the loop
         ratios = (jnp.arange(timesteps, dtype=jnp.float32) + 1) / timesteps
         mask_ratios = noise_schedule(ratios)
-        temperatures = temperature * (1.0 - ratios)
+        if isinstance(temperature, (tuple, list)):
+            # (start, end) pairs anneal linearly (v2-style convenience)
+            temperatures = jnp.linspace(temperature[0], temperature[1], timesteps)
+        else:
+            temperatures = temperature * (1.0 - ratios)
 
         cache_key = ("generate2", timesteps, float(guidance_scale),
                      class_ids is not None, use_cfg, condition is not None,

@@ -1,0 +1,377 @@
+"""End-to-end text/class -> image pipelines.
+
+Reference parity: muse/pipeline_muse.py (PipelineMuse :38-369,
+PipelineMuseInpainting :372-510).  The flow — tokenize -> CLIP encode
+(penultimate hidden state + pooled, clip_skip support) -> negative/empty
+embeds for CFG -> micro-conds -> transformer.generate2 -> vae.decode_code ->
+PIL — is identical; every compute stage is a jitted JAX program, and the
+decode loop is a single XLA program (see models/transformer_v2.py).
+
+bf16 policy: the transformer can run in bfloat16 (``dtype=jnp.bfloat16``)
+while the VQ decoder stays fp32 (reference keeps the VAE fp32,
+pipeline_muse.py:61).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.maskgit_vqgan import MaskGitVQGAN
+from ..models.movq import MOVQ
+from ..models.paella_vq import PaellaVQModel
+from ..models.taming_vqgan import VQGANModel
+from ..models.transformer_v1 import MaskGitTransformer
+from ..models.transformer_v2 import MaskGiTUViT_v2
+from ..models.clip_text import CLIPTextEncoder
+from ..ops.sampling import get_mask_schedule
+
+__all__ = ["PipelineMuse", "PipelineMuseInpainting"]
+
+_VAE_CLASSES = {
+    "VQGANModel": VQGANModel,
+    "MaskGitVQGAN": MaskGitVQGAN,
+    "MOVQ": MOVQ,
+    "PaellaVQModel": PaellaVQModel,
+}
+
+_TRANSFORMER_CLASSES = {
+    "MaskGitTransformer": MaskGitTransformer,
+    "MaskGiTUViT": MaskGiTUViT_v2,
+    "MaskGiTUViT_v2": MaskGiTUViT_v2,
+}
+
+
+class PipelineMuse:
+    def __init__(self, vae, transformer, is_class_conditioned: bool = False,
+                 text_encoder=None, tokenizer=None):
+        self.vae = vae
+        self.transformer = transformer
+        self.is_class_conditioned = is_class_conditioned
+        self.text_encoder = text_encoder
+        self.tokenizer = tokenizer
+
+    # -- text encoding -------------------------------------------------------
+
+    def _tokenize(self, text: List[str]):
+        out = self.tokenizer(text, padding="max_length", truncation=True,
+                             max_length=self.tokenizer.model_max_length,
+                             return_tensors="np")
+        return jnp.asarray(out["input_ids"], dtype=jnp.int32)
+
+    def _encode_text(self, input_ids, clip_skip: Optional[int] = None):
+        hidden_states, last, text_embeds = self.text_encoder.encode(input_ids)
+        layer_idx = -(clip_skip + 1) if clip_skip is not None else -2
+        add_cond = getattr(self.transformer.config, "add_cond_embeds", False)
+        if add_cond:
+            return hidden_states[layer_idx], text_embeds
+        return last, None
+
+    # -- main entry point ----------------------------------------------------
+
+    def __call__(
+        self,
+        text: Optional[Union[str, List[str]]] = None,
+        negative_text: Optional[Union[str, List[str]]] = "",
+        prompt_embeds=None,
+        pooled_embeds=None,
+        negative_prompt_embeds=None,
+        negative_pooled_embeds=None,
+        class_ids: Optional[Union[int, List[int]]] = None,
+        timesteps: int = 16,
+        noise_schedule: str = "cosine",
+        guidance_scale: float = 10.0,
+        guidance_schedule=None,
+        temperature: Union[float, Tuple[float, float]] = (2, 0),
+        topk_filter_thres: float = 0.9,
+        num_images_per_prompt: int = 1,
+        use_maskgit_generate: bool = True,
+        generator=None,
+        key=None,
+        noise_type: str = "mask",
+        predict_all_tokens: bool = False,
+        orig_size=(512, 512),
+        crop_coords=(0, 0),
+        aesthetic_score: float = 6.0,
+        return_intermediate: bool = False,
+        transformer_seq_len: Optional[int] = None,
+        clip_skip: Optional[int] = None,
+        return_pil: bool = True,
+        use_tqdm=None,
+    ):
+        if text is None and class_ids is None:
+            raise ValueError("Either text or class_ids must be provided.")
+        if text is not None and class_ids is not None:
+            raise ValueError("Only one of text or class_ids may be provided.")
+        if key is None:
+            key = generator if generator is not None else jax.random.PRNGKey(0)
+
+        if class_ids is not None:
+            if isinstance(class_ids, int):
+                class_ids = [class_ids]
+            class_ids = jnp.asarray(np.repeat(np.asarray(class_ids),
+                                              num_images_per_prompt))
+            model_inputs = {"class_ids": class_ids}
+        else:
+            if isinstance(text, str):
+                text = [text]
+            if prompt_embeds is not None:
+                encoder_hidden_states = jnp.asarray(prompt_embeds)
+                pooled = jnp.asarray(pooled_embeds) if pooled_embeds is not None else None
+            else:
+                encoder_hidden_states, pooled = self._encode_text(
+                    self._tokenize(text), clip_skip)
+
+            if negative_text is not None:
+                if isinstance(negative_text, str):
+                    negative_text = [negative_text] * len(text)
+                neg_ids = self._tokenize(negative_text)
+                negative_encoder_hidden_states, negative_pooled = self._encode_text(neg_ids)
+            elif negative_prompt_embeds is not None:
+                negative_encoder_hidden_states = jnp.asarray(negative_prompt_embeds)
+                negative_pooled = (jnp.asarray(negative_pooled_embeds)
+                                   if negative_pooled_embeds is not None else None)
+            else:
+                negative_encoder_hidden_states, negative_pooled = None, None
+
+            def _repeat(x, times):
+                if x is None or times == 1:
+                    return x
+                return jnp.repeat(x, times, axis=0)
+
+            encoder_hidden_states = _repeat(encoder_hidden_states, num_images_per_prompt)
+            pooled = _repeat(pooled, num_images_per_prompt)
+            negative_encoder_hidden_states = _repeat(negative_encoder_hidden_states,
+                                                     num_images_per_prompt)
+            negative_pooled = _repeat(negative_pooled, num_images_per_prompt)
+
+            if negative_encoder_hidden_states is None:
+                empty_ids = self._tokenize([""])
+                empty_embeds, empty_cond_embeds = self._encode_text(empty_ids)
+            else:
+                empty_embeds, empty_cond_embeds = None, None
+
+            model_inputs = {
+                "encoder_hidden_states": encoder_hidden_states,
+                "negative_embeds": negative_encoder_hidden_states,
+                "cond_embeds": pooled,
+                "negative_cond_embeds": negative_pooled,
+                "empty_embeds": empty_embeds,
+                "empty_cond_embeds": empty_cond_embeds,
+            }
+
+        if getattr(self.transformer.config, "add_micro_cond_embeds", False):
+            micro_conds = list(orig_size) + list(crop_coords) + [aesthetic_score]
+            model_inputs["micro_conds"] = jnp.asarray([micro_conds], dtype=jnp.float32)
+
+        generate_kwargs = dict(
+            timesteps=timesteps,
+            guidance_scale=guidance_scale,
+            temperature=temperature,
+            noise_schedule=get_mask_schedule(noise_schedule),
+            key=key,
+            return_intermediate=return_intermediate,
+        )
+        if isinstance(self.transformer, MaskGiTUViT_v2):
+            generate_kwargs["guidance_schedule"] = guidance_schedule
+            generate_kwargs["seq_len"] = transformer_seq_len
+            outputs = self.transformer.generate2(**model_inputs, **generate_kwargs)
+        else:
+            generate_kwargs.pop("return_intermediate")
+            if use_maskgit_generate:
+                outputs = self.transformer.generate2(**model_inputs, **generate_kwargs)
+            else:
+                outputs = self.transformer.generate(
+                    **model_inputs, topk_filter_thres=topk_filter_thres,
+                    **generate_kwargs)
+            if return_intermediate:
+                outputs = (outputs, [outputs])
+
+        if return_intermediate:
+            generated_tokens, intermediate = outputs
+        else:
+            generated_tokens = outputs
+
+        images = self.vae.decode_code(generated_tokens)
+        if not return_pil:
+            return images
+        pil_images = [self.to_pil_image(img) for img in np.asarray(images)]
+        if return_intermediate:
+            inter_images = [
+                [self.to_pil_image(img) for img in np.asarray(self.vae.decode_code(t))]
+                for t in intermediate
+            ]
+            return pil_images, inter_images
+        return pil_images
+
+    @staticmethod
+    def to_pil_image(image):
+        """NHWC float image in [0,1] -> PIL (reference pipeline_muse.py:245-252,
+        whose 2x-1 / clip / +1 /2 dance is just a clip to [0,1])."""
+        from PIL import Image
+
+        image = np.clip(np.asarray(image, dtype=np.float32), 0.0, 1.0)
+        return Image.fromarray((255 * image).astype(np.uint8)).convert("RGB")
+
+    # -- serialization -------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, model_name_or_path: str = None,
+                        text_encoder_path: Optional[str] = None,
+                        vae_path: Optional[str] = None,
+                        transformer_path: Optional[str] = None,
+                        vae=None, text_encoder=None, transformer=None,
+                        is_class_conditioned: bool = False,
+                        transformer_dtype=jnp.float32):
+        if model_name_or_path is None:
+            if (transformer is None and transformer_path is None) or \
+               (vae is None and vae_path is None):
+                raise ValueError(
+                    "Provide model_name_or_path or explicit component paths.")
+        else:
+            text_encoder_path = text_encoder_path or os.path.join(
+                model_name_or_path, "text_encoder")
+            vae_path = vae_path or os.path.join(model_name_or_path, "vae")
+            transformer_path = transformer_path or os.path.join(
+                model_name_or_path, "transformer")
+
+        tokenizer = None
+        if not is_class_conditioned:
+            if text_encoder is None:
+                text_encoder = CLIPTextEncoder.from_pretrained(text_encoder_path)
+            try:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(text_encoder_path)
+            except Exception:
+                tokenizer = None
+
+        if transformer is None:
+            from ..core.configuration import load_config_dict
+
+            tcfg = load_config_dict(transformer_path)
+            tcls = _TRANSFORMER_CLASSES.get(tcfg.get("_class_name"))
+            if tcls is None:
+                raise ValueError(f"Unknown Transformer class: {tcfg.get('_class_name')}")
+            transformer = tcls.from_pretrained(transformer_path,
+                                               dtype=transformer_dtype)
+
+        if vae is None:
+            from ..core.configuration import load_config_dict
+
+            vcfg = load_config_dict(vae_path)
+            vcls = _VAE_CLASSES.get(vcfg.get("_class_name"))
+            if vcls is None:
+                raise ValueError(f"Unknown VAE class: {vcfg.get('_class_name')}")
+            vae = vcls.from_pretrained(vae_path)
+
+        if is_class_conditioned:
+            return cls(vae=vae, transformer=transformer, is_class_conditioned=True)
+        return cls(vae=vae, transformer=transformer, text_encoder=text_encoder,
+                   tokenizer=tokenizer, is_class_conditioned=False)
+
+    def save_pretrained(self, save_directory: str):
+        if not self.is_class_conditioned:
+            self.text_encoder.save_pretrained(os.path.join(save_directory, "text_encoder"))
+            if self.tokenizer is not None and hasattr(self.tokenizer, "save_pretrained"):
+                self.tokenizer.save_pretrained(os.path.join(save_directory, "text_encoder"))
+        self.vae.save_pretrained(os.path.join(save_directory, "vae"))
+        self.transformer.save_pretrained(os.path.join(save_directory, "transformer"))
+
+
+class PipelineMuseInpainting(PipelineMuse):
+    """Inpainting: encode the image to tokens, stamp the mask token into
+    masked latent positions, decode with ``input_ids`` seeding
+    (reference pipeline_muse.py:372-510)."""
+
+    def __call__(self, image, mask, text=None, negative_text=None, class_ids=None,
+                 timesteps: int = 8, guidance_scale: float = 8.0,
+                 guidance_schedule=None, temperature: float = 1.0,
+                 num_images_per_prompt: int = 1, key=None, generator=None,
+                 image_size: int = 256, orig_size=(256, 256), crop_coords=(0, 0),
+                 aesthetic_score: float = 6.0, return_pil: bool = True,
+                 **kwargs):
+        if key is None:
+            key = generator if generator is not None else jax.random.PRNGKey(0)
+        pixel_values = self._preprocess_image(image, image_size)
+        _, image_tokens = self.vae.encode(pixel_values)
+        mask_token_id = self.transformer.config.mask_token_id
+        mask = jnp.asarray(np.asarray(mask).reshape(1, -1), dtype=bool)
+        image_tokens = jnp.where(mask, mask_token_id, image_tokens)
+        image_tokens = jnp.repeat(image_tokens, num_images_per_prompt, axis=0)
+
+        if class_ids is not None:
+            if isinstance(class_ids, int):
+                class_ids = [class_ids]
+            class_ids = jnp.asarray(np.repeat(np.asarray(class_ids),
+                                              num_images_per_prompt))
+            model_inputs = {"class_ids": class_ids}
+        else:
+            if isinstance(text, str):
+                text = [text]
+            encoder_hidden_states, pooled = self._encode_text(self._tokenize(text))
+            if negative_text is not None:
+                if isinstance(negative_text, str):
+                    negative_text = [negative_text]
+                negative_encoder_hidden_states, negative_pooled = self._encode_text(
+                    self._tokenize(negative_text))
+            else:
+                negative_encoder_hidden_states, negative_pooled = None, None
+
+            def _repeat(x):
+                return None if x is None else jnp.repeat(x, num_images_per_prompt, axis=0)
+
+            empty_embeds, empty_cond_embeds = self._encode_text(self._tokenize([""]))
+            model_inputs = {
+                "encoder_hidden_states": _repeat(encoder_hidden_states),
+                "negative_embeds": _repeat(negative_encoder_hidden_states),
+                "cond_embeds": _repeat(pooled),
+                "negative_cond_embeds": _repeat(negative_pooled),
+                "empty_embeds": empty_embeds,
+                "empty_cond_embeds": empty_cond_embeds,
+            }
+
+        if getattr(self.transformer.config, "add_micro_cond_embeds", False):
+            micro_conds = list(orig_size) + list(crop_coords) + [aesthetic_score]
+            model_inputs["micro_conds"] = jnp.asarray([micro_conds], dtype=jnp.float32)
+
+        if isinstance(self.transformer, MaskGiTUViT_v2):
+            seq_len = image_tokens.shape[1]
+            generated = self.transformer.generate2(
+                input_ids=image_tokens, timesteps=timesteps,
+                guidance_scale=guidance_scale, guidance_schedule=guidance_schedule,
+                temperature=temperature, seq_len=seq_len, key=key, **model_inputs)
+        else:
+            generated = self.transformer.generate2(
+                input_ids=image_tokens, timesteps=timesteps,
+                guidance_scale=guidance_scale, temperature=temperature, key=key,
+                **model_inputs)
+
+        images = self.vae.decode_code(generated)
+        if not return_pil:
+            return images
+        return [self.to_pil_image(img) for img in np.asarray(images)]
+
+    @staticmethod
+    def _preprocess_image(image, image_size: int):
+        """PIL -> resized/center-cropped NHWC float tensor in [0,1]
+        (reference uses torchvision transforms, pipeline_muse.py:404-411)."""
+        from PIL import Image
+
+        if isinstance(image, Image.Image):
+            w, h = image.size
+            scale = image_size / min(w, h)
+            image = image.resize((round(w * scale), round(h * scale)),
+                                 Image.BILINEAR)
+            w, h = image.size
+            left = (w - image_size) // 2
+            top = (h - image_size) // 2
+            image = image.crop((left, top, left + image_size, top + image_size))
+            arr = np.asarray(image.convert("RGB"), dtype=np.float32) / 255.0
+        else:
+            arr = np.asarray(image, dtype=np.float32)
+        return jnp.asarray(arr)[None]
