@@ -1,0 +1,75 @@
+"""Device-mesh construction for GSPMD training/inference.
+
+The reference's only parallelism is NCCL data-parallel DDP via accelerate
+(SURVEY.md §2.4, training/train_muse.py:261-267).  TPU-native equivalent: one
+``jax.sharding.Mesh`` with three logical axes —
+
+  dp    data parallel (batch sharding; grad all-reduce rides ICI)
+  fsdp  parameter/optimizer sharding (ZeRO-3 analog, reference only hooked
+        DeepSpeed stage<3, train_muse.py:269-272)
+  tp    tensor parallel (attention heads / MLP columns)
+
+plus ``jax.distributed.initialize`` for multi-host DCN setup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "MeshAxes", "initialize_distributed", "local_batch_slice"]
+
+MeshAxes = ("dp", "fsdp", "tp")
+
+
+def create_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('dp','fsdp','tp') mesh; dp defaults to all remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None:
+        if n % (fsdp * tp) != 0:
+            raise ValueError(f"{n} devices not divisible by fsdp*tp={fsdp * tp}")
+        dp = n // (fsdp * tp)
+    if dp * fsdp * tp != n:
+        raise ValueError(f"dp*fsdp*tp={dp * fsdp * tp} != {n} devices")
+    mesh_devices = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(mesh_devices, MeshAxes)
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host DCN initialization (replaces torch.distributed.run c10d
+    rendezvous, slurm_scripts/research_run_512.slurm:43-51).  No-op when
+    running single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes, process_id=process_id)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Global batch sharded over dp and fsdp (fsdp also splits the batch for
+    activation memory; params gather as needed)."""
+    return NamedSharding(mesh, P(("dp", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_slice(global_batch: int, process_index: Optional[int] = None,
+                      process_count: Optional[int] = None) -> slice:
+    """Per-host slice of the global batch (accelerate split_batches=True
+    semantics: global batch fixed regardless of host count,
+    train_muse.py:266)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    per_host = global_batch // process_count
+    return slice(process_index * per_host, (process_index + 1) * per_host)

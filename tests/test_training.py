@@ -1,0 +1,194 @@
+"""Training stack: masking, schedules, optimizers, EMA, train steps (single-
+and multi-device GSPMD), checkpoint save/resume."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from open_muse_tpu.ops.sampling import cosine_schedule
+from open_muse_tpu.training import masking as M
+from open_muse_tpu.training.lr_schedules import get_scheduler
+from open_muse_tpu.training.optimizers import get_optimizer
+from open_muse_tpu.training.ema import EMAModel
+from open_muse_tpu.training import trainer as T
+from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+from open_muse_tpu.models.transformer_v1 import MaskGitTransformer
+
+UVIT_TINY = dict(
+    hidden_size=64, cond_embed_dim=24, micro_cond_encode_dim=8,
+    micro_cond_embed_dim=40, encoder_hidden_size=32, vocab_size=68,
+    mask_token_id=67, codebook_size=64, in_channels=32, block_out_channels=(32,),
+    num_res_blocks=1, block_num_heads=2, num_hidden_layers=2,
+    num_attention_heads=4, intermediate_size=96,
+)
+
+
+def test_masking_random():
+    key = jax.random.PRNGKey(0)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 64, (4, 64)))
+    input_ids, labels, lw, mask_prob = M.mask_or_random_replace_tokens(
+        key, tokens, 99, cosine_schedule, min_masking_rate=0.1)
+    masked = np.asarray(input_ids) == 99
+    assert masked.any(axis=1).all()  # at least 1 masked per row
+    # labels are -100 exactly at unmasked positions
+    np.testing.assert_array_equal(np.asarray(labels) == -100, ~masked)
+    assert lw is None
+    assert (np.asarray(mask_prob) >= 0.1).all()
+    # masked count matches round(seq * p) clipped
+    expected = np.clip(np.round(64 * np.asarray(mask_prob)), 1, None)
+    np.testing.assert_array_equal(masked.sum(1), expected)
+
+
+def test_masking_contiguous_region():
+    key = jax.random.PRNGKey(1)
+    tokens = jnp.asarray(np.random.RandomState(1).randint(0, 64, (4, 64)))
+    input_ids, labels, lw, mask_prob = M.mask_or_random_replace_tokens(
+        key, tokens, 99, cosine_schedule, mask_contiguous_region_prob=1.0)
+    masked = (np.asarray(input_ids) == 99).reshape(4, 8, 8)
+    # each mask is a contiguous rectangle
+    for m in masked:
+        rows = np.where(m.any(axis=1))[0]
+        cols = np.where(m.any(axis=0))[0]
+        assert (np.diff(rows) == 1).all() and (np.diff(cols) == 1).all()
+        assert m[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1].all()
+
+
+def test_masking_random_replace_and_loss_weight():
+    key = jax.random.PRNGKey(2)
+    tokens = jnp.asarray(np.random.RandomState(2).randint(0, 64, (2, 16)))
+    input_ids, labels, lw, mask_prob = M.mask_or_random_replace_tokens(
+        key, tokens, 99, cosine_schedule, noise_type="random_replace",
+        codebook_size=64)
+    assert (np.asarray(input_ids) < 64).all()  # no mask tokens
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(tokens))
+    assert lw is not None and lw.shape == (2, 16)
+
+
+def test_lr_schedules():
+    for name in ["constant", "constant_with_warmup", "linear", "cosine",
+                 "cosine_with_restarts", "polynomial"]:
+        sched = get_scheduler(name, base_lr=1e-3, num_warmup_steps=10,
+                              num_training_steps=100)
+        v0 = float(sched(jnp.asarray(0)))
+        v10 = float(sched(jnp.asarray(10)))
+        assert 0 <= v0 <= 1e-3 + 1e-9 and v10 == pytest.approx(1e-3, rel=1e-5)
+
+
+def test_ema_model():
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    ema = EMAModel(params, decay=0.5)
+    new = {"w": jnp.full((4,), 3.0), "b": jnp.ones((2,))}
+    for _ in range(5):
+        ema.step(new)
+    # converges toward new params
+    assert float(jnp.abs(ema.shadow_params["w"] - 3.0).max()) < 2.0
+    ema.store(params)
+    restored = ema.restore()
+    assert restored is params
+
+
+def _uvit_batch(rs, batch=4):
+    return {
+        "image_tokens": jnp.asarray(rs.randint(0, 64, (batch, 16))),
+        "encoder_hidden_states": jnp.asarray(rs.randn(batch, 7, 32).astype(np.float32)),
+        "cond_embeds": jnp.asarray(rs.randn(batch, 24).astype(np.float32)),
+        "micro_conds": jnp.asarray(np.tile([[512, 512, 0, 0, 6.0]], (batch, 1)),
+                                   dtype=jnp.float32),
+        "empty_embeds": jnp.asarray(rs.randn(1, 7, 32).astype(np.float32)),
+        "empty_cond_embeds": jnp.asarray(rs.randn(1, 24).astype(np.float32)),
+    }
+
+
+def test_uvit_train_step_reduces_loss():
+    model = MaskGiTUViT_v2(**UVIT_TINY)
+    tx = get_optimizer("adamw", 1e-3, max_grad_norm=1.0)
+    state = T.create_train_state(model.params, tx, with_ema=True)
+    step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule, 67,
+                                     codebook_size=64, cond_dropout_prob=0.1)
+    rs = np.random.RandomState(0)
+    batch = _uvit_batch(rs)
+    losses = []
+    for i in range(8):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(42))  # fixed mask
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(jax.device_get(state.step)) == 8
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_maskgit_train_step():
+    model = MaskGitTransformer(
+        vocab_size=70, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, codebook_size=64, num_vq_tokens=16,
+        max_position_embeddings=17, num_classes=4, hidden_dropout=0.0,
+        attention_dropout=0.0)
+    tx = get_optimizer("lion", 1e-4)
+    state = T.create_train_state(model.params, tx)
+    step_fn = T.make_maskgit_train_step(model.module, tx, cosine_schedule, 69,
+                                        codebook_size=64)
+    rs = np.random.RandomState(1)
+    batch = {"image_tokens": jnp.asarray(rs.randint(0, 64, (2, 16))),
+             "class_ids": jnp.asarray([0, 3])}
+    losses = []
+    for _ in range(6):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_multichip_train_step_gspmd():
+    """dp=4 x fsdp=2 mesh on 8 virtual CPU devices: params sharded, batch
+    dp-sharded, one full step executes."""
+    from open_muse_tpu.parallel.mesh import create_mesh
+    from open_muse_tpu.parallel.sharding import make_param_shardings
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(dp=4, fsdp=2, tp=1)
+    model = MaskGiTUViT_v2(**UVIT_TINY)
+    tx = get_optimizer("adamw", 1e-3)
+    state = T.create_train_state(model.params, tx, mesh=mesh)
+    step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule, 67,
+                                     codebook_size=64)
+    rs = np.random.RandomState(2)
+    batch = _uvit_batch(rs, batch=8)
+    batch_sh = NamedSharding(mesh, P(("dp", "fsdp")))
+    rep = NamedSharding(mesh, P())
+    batch = {k: jax.device_put(v, rep if v.shape[0] == 1 else batch_sh)
+             for k, v in batch.items()}
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # a second step to ensure donated buffers + shardings stay consistent
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_save_resume(tmp_path):
+    model = MaskGiTUViT_v2(**UVIT_TINY)
+    tx = get_optimizer("adamw", 1e-3)
+    state = T.create_train_state(model.params, tx, with_ema=True)
+    step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule, 67,
+                                     codebook_size=64)
+    batch = _uvit_batch(np.random.RandomState(3))
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+
+    path = T.save_checkpoint(str(tmp_path), state, model=model,
+                             checkpoints_total_limit=3)
+    assert T.find_latest_checkpoint(str(tmp_path)) == path
+
+    fresh = T.create_train_state(model.init_params(jax.random.PRNGKey(9)), tx,
+                                 with_ema=True)
+    restored = T.load_checkpoint(path, fresh)
+    assert int(jax.device_get(restored.step)) == 2
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+    # portable model dir exists and loads
+    loaded = MaskGiTUViT_v2.from_pretrained(os.path.join(path, "unwrapped_model"))
+    assert loaded.config == model.config
+
+
+import os  # noqa: E402
