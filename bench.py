@@ -1,0 +1,91 @@
+"""Headline benchmark: 256px text2image latency, batch 1, 12-step decode.
+
+Mirrors the reference's benchmark/muse_perf.py muse_benchmark flow (tokenize ->
+CLIP encode -> 12-step CFG decode -> VQ decode) on research-run-shaped models
+(MaskGiTUViT_v2 1024h/22L/8192-codebook + CLIP-L text tower + f16 VQGAN),
+and prints ONE JSON line with the median wall-clock per pipeline call.
+
+Baseline to beat: 474.0 ms on A100 (fp16, xformers + fused norm,
+benchmark/artifacts/all.csv:13; see BASELINE.md).  vs_baseline is the speedup
+factor (baseline_ms / ours_ms, >1 = faster than the A100 reference).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_MS = 474.0
+TIMESTEPS = 12
+BATCH = 1
+WARMUP = 2
+ITERS = 10
+
+
+def build_components():
+    import jax.numpy as jnp
+
+    from open_muse_tpu.models.clip_text import CLIPTextEncoder
+    from open_muse_tpu.models.taming_vqgan import VQGANModel
+    from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+
+    transformer = MaskGiTUViT_v2(dtype=jnp.bfloat16)  # research-run defaults
+    text_encoder = CLIPTextEncoder(
+        vocab_size=49408, hidden_size=768, intermediate_size=3072,
+        num_hidden_layers=12, num_attention_heads=12, max_position_embeddings=77,
+        projection_dim=768, dtype=jnp.bfloat16)
+    vae = VQGANModel(resolution=256, num_embeddings=8192, z_channels=256,
+                     quantized_embed_dim=256)  # f16: 256 tokens at 256px
+    return transformer, text_encoder, vae
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    transformer, text_encoder, vae = build_components()
+
+    rs = np.random.RandomState(0)
+    input_ids = jnp.asarray(rs.randint(1, 49000, (BATCH, 77)), dtype=jnp.int32)
+    empty_ids = jnp.asarray(rs.randint(1, 49000, (1, 77)), dtype=jnp.int32)
+    micro_conds = jnp.asarray([[512, 512, 0, 0, 6.0]], dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def pipeline_call(step_key):
+        hidden_states, _, pooled = text_encoder.encode(input_ids)
+        ehs = hidden_states[-2]
+        e_hidden, _, e_pooled = text_encoder.encode(empty_ids)
+        empty_embeds = e_hidden[-2]
+        tokens = transformer.generate2(
+            ehs.astype(jnp.bfloat16), pooled.astype(jnp.bfloat16), micro_conds,
+            empty_embeds=jnp.broadcast_to(empty_embeds, ehs.shape).astype(jnp.bfloat16),
+            empty_cond_embeds=jnp.broadcast_to(e_pooled, pooled.shape).astype(jnp.bfloat16),
+            timesteps=TIMESTEPS, guidance_scale=8.0, temperature=(2, 0),
+            seq_len=256, key=step_key)
+        images = vae.decode_code(tokens)
+        return images
+
+    # warmup / compile
+    for i in range(WARMUP):
+        out = pipeline_call(jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+
+    times = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        out = pipeline_call(jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1000)
+
+    median_ms = float(np.median(times))
+    print(json.dumps({
+        "metric": "muse_256px_bs1_12step_e2e_latency",
+        "value": round(median_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / median_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
