@@ -136,6 +136,38 @@ class CLIPTextModule(nn.Module):
         return hidden_states, last, text_embeds
 
 
+class SimpleTokenizer:
+    """Deterministic hash tokenizer for offline/smoke runs (no hub access).
+
+    Maps whitespace words to stable ids; BOS at 0, EOS/pad = vocab_size-1 so
+    the CLIP pooling argmax convention holds.  Not a BPE — production runs
+    point at a real tokenizer directory.
+    """
+
+    def __init__(self, vocab_size: int = 49408, model_max_length: int = 77):
+        self.vocab_size = vocab_size
+        self.model_max_length = model_max_length
+
+    def __call__(self, texts, padding=None, truncation=None, max_length=None,
+                 return_tensors=None):
+        import hashlib
+
+        import numpy as np
+
+        max_length = max_length or self.model_max_length
+        eos = self.vocab_size - 1
+        batch = []
+        for text in texts:
+            ids = [1]  # bos
+            for word in str(text).lower().split():
+                h = int(hashlib.md5(word.encode()).hexdigest(), 16)
+                ids.append(2 + h % (self.vocab_size - 3))
+            ids = ids[: max_length - 1] + [eos]
+            ids = ids + [eos] * (max_length - len(ids))
+            batch.append(ids)
+        return {"input_ids": np.asarray(batch, dtype=np.int32)}
+
+
 class CLIPTextEncoder(ModelMixin):
     """User-facing wrapper exposing the HF-ish surface the pipeline needs:
     ``encode(input_ids) -> (hidden_states tuple, last_hidden_state, text_embeds)``.

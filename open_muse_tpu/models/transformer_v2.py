@@ -391,6 +391,13 @@ class MaskGiTUViT_v2(ModelMixin):
     def __init__(self, *args, remat: bool = False, **kwargs):
         self._remat = remat
         super().__init__(*args, **kwargs)
+        # the reference unconditionally re-registers mask_token_id as
+        # vocab_size - 1 (modeling_transformer_v2.py:158)
+        if self.config.mask_token_id != self.config.vocab_size - 1:
+            self.config = self.config.replace(
+                mask_token_id=self.config.vocab_size - 1)
+            self.module = self.build_module()
+            self._jit_cache.clear()
 
     def build_module(self):
         return MaskGiTUViT_v2Module(self.config, dtype=self.dtype, remat=self._remat)

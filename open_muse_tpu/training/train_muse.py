@@ -1,0 +1,332 @@
+"""Text2image trainer CLI (the reference's training/train_muse.py, TPU-native).
+
+Run:  python -m open_muse_tpu.training.train_muse config=configs/xxx.yaml a.b=1
+
+Flow (reference train_muse.py:248-939): config merge -> models (text encoder /
+VQ skipped entirely in pre_encode mode, :329-356) -> optimizer + lr schedule +
+EMA -> dataset -> resume -> loop { encode frozen VQ+text, mask, fused train
+step, log, eval, generate, checkpoint }.
+
+TPU specifics: GSPMD mesh replaces accelerate DDP; the masking + forward +
+backward + update + EMA is ONE donated jitted program; metrics stream to a
+JSONL tracker (wandb attaches automatically when available); process-0 gating
+replaces accelerate is_main_process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def get_vq_model_class(model_type: str):
+    # reference train_muse.py:112-123
+    from ..models.maskgit_vqgan import MaskGitVQGAN
+    from ..models.movq import MOVQ
+    from ..models.paella_vq import PaellaVQModel
+    from ..models.taming_vqgan import VQGANModel
+
+    return {
+        "vqgan": VQGANModel,
+        "maskgit_vqgan": MaskGitVQGAN,
+        "movq": MOVQ,
+        "paella_vq": PaellaVQModel,
+    }[model_type]
+
+
+class MetricsTracker:
+    """JSONL metrics log + optional wandb (reference logs through
+    accelerate->wandb, train_muse.py:291-312)."""
+
+    def __init__(self, output_dir: str, config=None, enabled: bool = True):
+        self.enabled = enabled
+        self.path = os.path.join(output_dir, "metrics.jsonl")
+        self._wandb = None
+        if enabled:
+            os.makedirs(output_dir, exist_ok=True)
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project=(config or {}).get("project", "muse-tpu"),
+                           config=config)
+            except Exception:
+                self._wandb = None
+
+    def log(self, values: dict, step: int):
+        if not self.enabled:
+            return
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"step": step, **{k: float(v) if hasattr(v, "__float__")
+                                                 else v for k, v in values.items()}}) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(values, step=step)
+
+
+def save_image_grid(images, path: str):
+    """NHWC float images -> one PNG grid (replaces wandb image panels)."""
+    from PIL import Image
+
+    images = np.clip(np.asarray(images, dtype=np.float32), 0, 1)
+    n, h, w, c = images.shape
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    grid = np.zeros((rows * h, cols * w, c), dtype=np.float32)
+    for i, img in enumerate(images):
+        r, col = divmod(i, cols)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img
+    Image.fromarray((grid * 255).astype(np.uint8)).save(path)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip_text import CLIPTextEncoder
+    from ..models.transformer_v2 import MaskGiTUViT_v2
+    from ..ops.sampling import get_mask_schedule
+    from ..parallel.mesh import create_mesh
+    from ..utils import logging as mlog
+    from ..utils.config import flatten_config, load_config
+    from ..utils.training_utils import AverageMeter, set_seed
+    from . import trainer as T
+    from .data import Text2ImageDataset, WebdatasetSelect
+    from .lr_schedules import get_scheduler
+    from .optimizers import get_optimizer
+
+    config = load_config(argv if argv is not None else sys.argv[1:])
+    logger = mlog.get_logger(__name__)
+    mlog.set_verbosity_for_process()
+    is_main = jax.process_index() == 0
+
+    seed = config.training.get("seed", 42)
+    rng_key = set_seed(seed)
+
+    output_dir = config.experiment.output_dir
+    os.makedirs(output_dir, exist_ok=True)
+    if is_main:
+        with open(os.path.join(output_dir, "config.yaml"), "w") as f:
+            import yaml
+
+            yaml.safe_dump(config.to_dict(), f)
+    tracker = MetricsTracker(output_dir, flatten_config(config), enabled=is_main)
+
+    # -- models ---------------------------------------------------------------
+    pre_encode = config.training.get("pre_encode", False)
+    text_encoder = vq_model = None
+    tokenizer = None
+    if not pre_encode:
+        te_cfg = config.model.get("text_encoder")
+        te_path = te_cfg.get("pretrained") if te_cfg is not None else None
+        if te_path and os.path.isdir(te_path):
+            text_encoder = CLIPTextEncoder.from_pretrained(te_path)
+            try:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(te_path)
+            except Exception:
+                tokenizer = None
+        elif te_cfg is not None and te_cfg.get("params") is not None:
+            # fresh text tower for offline/smoke runs
+            text_encoder = CLIPTextEncoder(**te_cfg.params.to_dict())
+        if text_encoder is not None and tokenizer is None:
+            from ..models.clip_text import SimpleTokenizer
+
+            tokenizer = SimpleTokenizer(
+                vocab_size=text_encoder.config.vocab_size,
+                model_max_length=text_encoder.config.max_position_embeddings)
+        vq_class = get_vq_model_class(config.model.get("vq_model_type", "maskgit_vqgan"))
+        vq_pretrained = config.model.vq_model.get("pretrained")
+        if vq_pretrained and os.path.isdir(vq_pretrained):
+            vq_model = vq_class.from_pretrained(vq_pretrained)
+        else:
+            vq_params = config.model.vq_model.get("params")
+            vq_model = vq_class(**(vq_params.to_dict() if vq_params is not None else {}))
+
+    tcfg = config.model.transformer.to_dict()
+    dtype = jnp.bfloat16 if config.training.get("mixed_precision") == "bf16" else jnp.float32
+    model = MaskGiTUViT_v2(
+        **tcfg, dtype=dtype,
+        remat=bool(config.model.get("gradient_checkpointing", False)))
+    mask_id = model.config.mask_token_id
+    logger.info(f"transformer params: {model.num_parameters() / 1e6:.1f}M")
+
+    # -- optimizer / schedule / mesh -------------------------------------------
+    opt_cfg = config.optimizer.params
+    lr = opt_cfg.learning_rate
+    if opt_cfg.get("scale_lr", False):
+        lr = lr * config.training.batch_size * jax.process_count()
+    schedule = get_scheduler(
+        config.lr_scheduler.scheduler, base_lr=lr,
+        num_warmup_steps=config.lr_scheduler.params.get("warmup_steps", 500),
+        num_training_steps=config.training.get("max_train_steps", 1000000))
+    accum = config.training.get("gradient_accumulation_steps", 1)
+    tx = get_optimizer(
+        config.optimizer.get("name", "adamw"), schedule,
+        beta1=opt_cfg.get("beta1", 0.9), beta2=opt_cfg.get("beta2", 0.999),
+        weight_decay=opt_cfg.get("weight_decay", 0.01),
+        epsilon=opt_cfg.get("epsilon", 1e-8),
+        max_grad_norm=config.training.get("max_grad_norm"))
+    if accum > 1:
+        import optax
+
+        tx = optax.MultiSteps(tx, accum)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = create_mesh(fsdp=config.training.get("fsdp", 1),
+                           tp=config.training.get("tp", 1))
+    state = T.create_train_state(model.params, tx, mesh=mesh,
+                                 with_ema=config.training.get("use_ema", False))
+
+    mask_schedule = get_mask_schedule(config.training.get("mask_schedule", "cosine"))
+    train_step = T.make_uvit_train_step(
+        model.module, tx, mask_schedule, mask_id,
+        codebook_size=model.config.codebook_size,
+        min_masking_rate=config.training.get("min_masking_rate", 0.0),
+        noise_type=config.training.get("noise_type", "mask"),
+        predict_all_tokens=config.training.get("predict_all_tokens", False),
+        mask_contiguous_region_prob=config.training.get("mask_contiguous_region_prob"),
+        label_smoothing=config.training.get("label_smoothing", 0.0),
+        cond_dropout_prob=config.training.get("cond_dropout_prob", 0.0),
+        max_grad_norm=None)
+
+    # -- resume -----------------------------------------------------------------
+    global_step = 0
+    resume = config.experiment.get("resume_from_checkpoint")
+    if resume:
+        path = (T.find_latest_checkpoint(output_dir) if resume == "latest" else resume)
+        if path:
+            state = T.load_checkpoint(path, state)
+            global_step = int(jax.device_get(state.step))
+            logger.info(f"resumed from {path} at step {global_step}")
+
+    # -- frozen encoders (jitted once) -------------------------------------------
+    empty_embeds = empty_cond_embeds = None
+    if text_encoder is not None and tokenizer is not None:
+        empty_ids = jnp.asarray(tokenizer([""], padding="max_length", truncation=True,
+                                          max_length=tokenizer.model_max_length,
+                                          return_tensors="np")["input_ids"])
+        hs, _, pooled = text_encoder.encode(empty_ids)
+        empty_embeds, empty_cond_embeds = hs[-2], pooled
+
+    def prepare_batch(batch, key):
+        """pixels/text -> tokens/embeds (reference prepare_inputs_and_labels,
+        train_muse.py:612-683; masking happens inside the train step)."""
+        out = {}
+        if pre_encode:
+            out["image_tokens"] = jnp.asarray(batch["image_tokens"], dtype=jnp.int32)
+            out["encoder_hidden_states"] = jnp.asarray(batch["encoder_hidden_states"])
+            out["cond_embeds"] = jnp.asarray(batch["cond_embeds"])
+        else:
+            pixels = jnp.asarray(batch["pixel_values"])
+            out["image_tokens"] = vq_model.get_code(pixels)
+            ids = jnp.asarray(tokenizer(batch["input_text"], padding="max_length",
+                                        truncation=True,
+                                        max_length=tokenizer.model_max_length,
+                                        return_tensors="np")["input_ids"])
+            hs, _, pooled = text_encoder.encode(ids)
+            out["encoder_hidden_states"], out["cond_embeds"] = hs[-2], pooled
+        micro = np.concatenate([
+            batch.get("orig_sizes", np.full((len(out["image_tokens"]), 2), 512.0)),
+            batch.get("crop_coords", np.zeros((len(out["image_tokens"]), 2))),
+            np.full((len(out["image_tokens"]), 1), 6.0),
+        ], axis=1)
+        out["micro_conds"] = jnp.asarray(micro, dtype=jnp.float32)
+        if empty_embeds is not None:
+            out["empty_embeds"] = empty_embeds
+            out["empty_cond_embeds"] = empty_cond_embeds
+        return out
+
+    # -- data ---------------------------------------------------------------------
+    ds_params = config.dataset.params
+    select = None
+    if config.dataset.get("quality_filter"):
+        select = WebdatasetSelect(**config.dataset.quality_filter.to_dict())
+    dataset = Text2ImageDataset(
+        ds_params.train_shards_path_or_url,
+        batch_size=config.training.batch_size,
+        resolution=ds_params.get("resolution", 256),
+        shuffle_buffer_size=ds_params.get("shuffle_buffer_size", 1000),
+        pre_encode=pre_encode, select=select, seed=seed,
+        center_crop=config.dataset.get("preprocessing", {}) and
+        config.dataset.preprocessing.get("center_crop", False))
+
+    # -- loop -----------------------------------------------------------------------
+    import jax.random as jrandom
+
+    max_steps = config.training.max_train_steps
+    log_every = config.experiment.get("log_every", 50)
+    save_every = config.experiment.get("save_every", 1000)
+    generate_every = config.experiment.get("generate_every", 1000)
+    overfit = config.training.get("overfit_one_batch", False)
+
+    batch_time, data_time = AverageMeter(), AverageMeter()
+    key = rng_key
+    end = time.time()
+    data_iter = iter(dataset)
+    cached_batch = None
+    logger.info("starting training loop")
+    while global_step < max_steps:
+        if overfit and cached_batch is not None:
+            batch = cached_batch
+        else:
+            try:
+                batch = next(data_iter)
+            except StopIteration:
+                data_iter = iter(dataset)
+                batch = next(data_iter)
+            cached_batch = batch
+        data_time.update(time.time() - end)
+
+        key, step_key, prep_key = jrandom.split(key, 3)
+        model_batch = prepare_batch(batch, prep_key)
+        state, metrics = train_step(state, model_batch, step_key)
+        global_step += 1
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+        if global_step % log_every == 0 and is_main:
+            m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+            m.update({
+                "lr": float(schedule(jnp.asarray(global_step))),
+                "samples/sec/host": config.training.batch_size / max(batch_time.avg, 1e-9),
+                "data_time": data_time.avg,
+                "batch_time": batch_time.avg,
+            })
+            tracker.log(m, global_step)
+            logger.info(f"step {global_step}: loss={m['loss']:.4f} "
+                        f"({m['samples/sec/host']:.1f} samples/s)")
+
+        if global_step % generate_every == 0 and is_main and vq_model is not None:
+            model.params = state.ema_params if state.ema_params is not None else state.params
+            tokens = model.generate2(
+                model_batch["encoder_hidden_states"][:4], model_batch["cond_embeds"][:4],
+                model_batch["micro_conds"][:4],
+                empty_embeds=empty_embeds, empty_cond_embeds=empty_cond_embeds,
+                timesteps=12, guidance_scale=8.0,
+                seq_len=int(model_batch["image_tokens"].shape[1]),
+                key=jrandom.fold_in(key, 1))
+            images = vq_model.decode_code(tokens)
+            save_image_grid(np.asarray(jax.device_get(images)),
+                            os.path.join(output_dir, f"samples-{global_step}.png"))
+
+        if global_step % save_every == 0:
+            model.params = state.params
+            T.save_checkpoint(
+                output_dir, state, model=model,
+                checkpoints_total_limit=config.experiment.get("checkpoints_total_limit"))
+
+    model.params = state.params
+    T.save_checkpoint(output_dir, state, model=model)
+    logger.info("training done")
+    return state
+
+
+if __name__ == "__main__":
+    main()

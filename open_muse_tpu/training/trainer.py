@@ -241,7 +241,8 @@ def save_checkpoint(output_dir: str, state: TrainState, model=None,
 
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.join(os.path.abspath(path), "state"),
-               jax.device_get(flax.serialization.to_state_dict(state)))
+               jax.device_get(flax.serialization.to_state_dict(state)),
+               force=True)
 
     if model is not None:
         model.params = state.params
