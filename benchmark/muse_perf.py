@@ -1,0 +1,122 @@
+"""Benchmark sweep: wall-clock latency across batch/steps/resolution configs.
+
+Reference parity: benchmark/muse_perf.py — sweeps batch {1,8} x timesteps
+{12,20} x resolution {256,512} for muse and writes ``artifacts/all.csv`` with
+the same header schema (:41-239, 533-546); the GPU comparators (SD1.5/SDXL/
+würstchen/LCM via diffusers) do not exist on TPU and their published A100
+numbers live in BASELINE.md for comparison.
+
+Timing note: through the remote-device tunnel, per-call block_until_ready can
+return early, so we time N dependent dispatches forced once (see bench.py).
+
+Usage: python benchmark/muse_perf.py [--device tpu] [--out benchmark/artifacts/all.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CSV_FIELDS = ["model", "resolution", "batch_size", "timesteps", "use_xformers",
+              "use_fused_residual_norm", "device", "median_ms", "imgs_per_sec",
+              "peak_mem_gb"]
+
+
+def build(resolution: int, dtype):
+    from open_muse_tpu.models.clip_text import CLIPTextEncoder
+    from open_muse_tpu.models.taming_vqgan import VQGANModel
+    from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+
+    force = resolution == 512  # 512px research model downsamples 32x32 -> 16x16
+    transformer = MaskGiTUViT_v2(force_down_up_sample=force, dtype=dtype)
+    text_encoder = CLIPTextEncoder(
+        vocab_size=49408, hidden_size=768, intermediate_size=3072,
+        num_hidden_layers=12, num_attention_heads=12, max_position_embeddings=77,
+        projection_dim=768, dtype=dtype)
+    # 256px -> f16 (256 tokens); 512px -> f8 (1024 tokens)
+    vae = VQGANModel(resolution=resolution, num_embeddings=8192,
+                     channel_mult=(1, 1, 2, 2, 4) if resolution == 256
+                     else (1, 1, 2, 4),
+                     z_channels=256, quantized_embed_dim=256)
+    seq_len = 256 if resolution == 256 else 1024
+    return transformer, text_encoder, vae, seq_len
+
+
+def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
+             iters: int = 6):
+    import jax
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    input_ids = jnp.asarray(rs.randint(1, 49000, (batch_size, 77)), dtype=jnp.int32)
+    micro = jnp.asarray([[512, 512, 0, 0, 6.0]], dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def call(step_key):
+        hs, _, pooled = text_encoder.encode(input_ids)
+        ehs = hs[-2].astype(transformer.dtype)
+        pooled = pooled.astype(transformer.dtype)
+        tokens = transformer.generate2(
+            ehs, pooled, micro, empty_embeds=ehs[:1], empty_cond_embeds=pooled[:1],
+            timesteps=timesteps, guidance_scale=8.0, temperature=(2, 0),
+            seq_len=seq_len, key=step_key)
+        return vae.decode_code(tokens)
+
+    float(jnp.sum(call(key)))  # compile + force
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        acc = acc + jnp.sum(call(jax.random.fold_in(key, i)))
+    float(acc)
+    total = (time.perf_counter() - t0) * 1000
+    median_ms = total / iters
+    return median_ms, batch_size / (median_ms / 1000)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "all.csv"))
+    parser.add_argument("--resolutions", type=int, nargs="+", default=[256, 512])
+    parser.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8])
+    parser.add_argument("--timesteps", type=int, nargs="+", default=[12, 20])
+    parser.add_argument("--iters", type=int, default=6)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    device = jax.devices()[0].device_kind
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    rows = []
+    for resolution in args.resolutions:
+        transformer, text_encoder, vae, seq_len = build(resolution, jnp.bfloat16)
+        for batch_size in args.batch_sizes:
+            for steps in args.timesteps:
+                ms, imgs = run_case(transformer, text_encoder, vae, seq_len,
+                                    batch_size, steps, iters=args.iters)
+                row = {"model": "muse_tpu", "resolution": resolution,
+                       "batch_size": batch_size, "timesteps": steps,
+                       "use_xformers": "n/a", "use_fused_residual_norm": "xla-fused",
+                       "device": device, "median_ms": round(ms, 1),
+                       "imgs_per_sec": round(imgs, 2), "peak_mem_gb": ""}
+                rows.append(row)
+                print(row)
+        del transformer, text_encoder, vae
+
+    with open(args.out, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
+        writer.writeheader()
+        writer.writerows(rows)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

