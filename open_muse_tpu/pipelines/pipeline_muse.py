@@ -242,7 +242,20 @@ class PipelineMuse:
         tokenizer = None
         if not is_class_conditioned:
             if text_encoder is None:
-                text_encoder = CLIPTextEncoder.from_pretrained(text_encoder_path)
+                # dispatch CLIP vs T5 on the HF config (reference hardcodes
+                # CLIPTextModelWithProjection, pipeline_muse.py:297-314)
+                import json as _json
+
+                with open(os.path.join(text_encoder_path, "config.json")) as f:
+                    te_cfg = _json.load(f)
+                archs = " ".join(te_cfg.get("architectures", [])) + \
+                    te_cfg.get("model_type", "")
+                if "t5" in archs.lower():
+                    from ..models.t5_text import T5TextEncoder
+
+                    text_encoder = T5TextEncoder.from_pretrained(text_encoder_path)
+                else:
+                    text_encoder = CLIPTextEncoder.from_pretrained(text_encoder_path)
             try:
                 from transformers import AutoTokenizer
 
