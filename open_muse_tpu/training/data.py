@@ -343,6 +343,8 @@ class Text2ImageDataset:
         center_crop: bool = False,
         require_text: bool = True,
         prefetch_depth: int = 4,
+        use_native: bool = True,
+        native_threads: int = 4,
     ):
         self.shards = ShardSource(train_shards_path_or_url, resample=resample,
                                   seed=seed)
@@ -356,19 +358,41 @@ class Text2ImageDataset:
         self.center_crop = center_crop
         self.require_text = require_text
         self.prefetch_depth = prefetch_depth
+        self.use_native = use_native
+        self.native_threads = native_threads
         self.rng = random.Random(seed + 1)
 
-    def _samples(self) -> Iterator[Dict[str, Any]]:
+    def _raw_samples(self) -> Iterator[Dict[str, bytes]]:
+        if self.use_native:
+            from .native_io import NativeShardReader, native_available
+
+            if native_available():
+                # feed sampled shard urls to the C++ pool in chunks so
+                # resample-with-replacement semantics are preserved
+                shard_iter = iter(self.shards)
+                while True:
+                    chunk = list(itertools.islice(shard_iter, 16))
+                    if not chunk:
+                        return
+                    reader = NativeShardReader(chunk,
+                                               num_threads=self.native_threads)
+                    try:
+                        yield from reader
+                    finally:
+                        reader.close()
         for url in self.shards:
-            for raw in tar_samples(url):
-                sample = decode_sample(raw, pre_encoded=self.pre_encode)
-                if self.require_text and not self.pre_encode and "text" not in sample:
-                    continue
-                if not self.pre_encode and "image" not in sample:
-                    continue
-                if self.select is not None and not self.select(sample):
-                    continue
-                yield sample
+            yield from tar_samples(url)
+
+    def _samples(self) -> Iterator[Dict[str, Any]]:
+        for raw in self._raw_samples():
+            sample = decode_sample(raw, pre_encoded=self.pre_encode)
+            if self.require_text and not self.pre_encode and "text" not in sample:
+                continue
+            if not self.pre_encode and "image" not in sample:
+                continue
+            if self.select is not None and not self.select(sample):
+                continue
+            yield sample
 
     def _shuffled(self) -> Iterator[Dict[str, Any]]:
         buf: List[Dict[str, Any]] = []
