@@ -20,7 +20,27 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["VectorQuantizer", "compute_distances"]
+__all__ = ["VectorQuantizer", "compute_distances", "nearest_codebook_indices"]
+
+
+def _use_pallas_argmin(n, c, k) -> bool:
+    """Dispatch the fused Pallas kernel: TPU backend, K a multiple of 1024,
+    codebook + one K-tile fits VMEM comfortably."""
+    if jax.default_backend() != "tpu":
+        return False
+    return k % 1024 == 0 and k * c * 4 <= 8 * 1024 * 1024
+
+
+def nearest_codebook_indices(flat_states, codebook, metric: str = "sq_l2"):
+    """argmin over codebook entries; fused Pallas path on TPU (metric doesn't
+    change the argmin, modeling_movq.py:518-521 cdist vs addmm)."""
+    n, c = flat_states.shape
+    k = codebook.shape[0]
+    if _use_pallas_argmin(n, c, k):
+        from .pallas.vq_argmin import vq_argmin
+
+        return vq_argmin(flat_states, codebook)
+    return jnp.argmin(compute_distances(flat_states, codebook, metric), axis=1)
 
 
 def compute_distances(flat_states, codebook, metric: str = "sq_l2"):
@@ -74,7 +94,7 @@ class VectorQuantizer(nn.Module):
         """hidden_states: (B, H, W, C) -> (z_q NHWC, indices (B, H*W), loss)."""
         b, h, w, c = hidden_states.shape
         flat = hidden_states.reshape(-1, c)
-        indices = jnp.argmin(self._distances(flat), axis=1)
+        indices = nearest_codebook_indices(flat, self.codebook, self.metric)
         z_q = self.embed(indices).reshape(b, h, w, c).astype(hidden_states.dtype)
         indices = indices.reshape(b, h * w)
         loss = None
@@ -90,7 +110,7 @@ class VectorQuantizer(nn.Module):
     def get_code(self, hidden_states):
         b, h, w, c = hidden_states.shape
         flat = hidden_states.reshape(-1, c)
-        indices = jnp.argmin(self._distances(flat), axis=1)
+        indices = nearest_codebook_indices(flat, self.codebook, self.metric)
         return indices.reshape(b, h * w)
 
     def get_soft_code(self, hidden_states, temp: float = 1.0, stochastic: bool = False,

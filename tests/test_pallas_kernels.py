@@ -1,0 +1,62 @@
+"""Pallas kernels, verified in interpreter mode on CPU against XLA refs."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from open_muse_tpu.ops.pallas.vq_argmin import vq_argmin
+from open_muse_tpu.ops.pallas.fused_norm import (fused_residual_layernorm,
+                                                 fused_residual_rmsnorm)
+from open_muse_tpu.ops.pallas.flash_attention import flash_attention
+from open_muse_tpu.ops.vq import compute_distances
+from open_muse_tpu.ops.layers import dot_product_attention
+
+
+@pytest.mark.parametrize("n,c,k", [(1000, 256, 8192), (256, 8, 2048), (2048, 16, 1024)])
+def test_vq_argmin_matches_xla(n, c, k):
+    rs = np.random.RandomState(0)
+    z = jnp.asarray(rs.randn(n, c).astype(np.float32))
+    cb = jnp.asarray(rs.randn(k, c).astype(np.float32))
+    ref = jnp.argmin(compute_distances(z, cb), axis=1)
+    got = vq_argmin(z, cb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_rmsnorm_matches_reference_semantics():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 64, 128).astype(np.float32))
+    res = jnp.asarray(rs.randn(2, 64, 128).astype(np.float32))
+    scale = jnp.asarray(rs.rand(128).astype(np.float32))
+    out, resid = fused_residual_rmsnorm(x, res, scale, interpret=True)
+    added = np.asarray(x + res)
+    np.testing.assert_allclose(np.asarray(resid), added, atol=1e-6)
+    var = (added.astype(np.float64) ** 2).mean(-1, keepdims=True)
+    expected = added / np.sqrt(var + 1e-6) * np.asarray(scale)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_layernorm_matches():
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(3, 40, 128).astype(np.float32))
+    scale = jnp.asarray(rs.rand(128).astype(np.float32))
+    bias = jnp.asarray(rs.rand(128).astype(np.float32))
+    out, resid = fused_residual_layernorm(x, None, scale, bias, interpret=True)
+    xn = np.asarray(x, dtype=np.float64)
+    mean = xn.mean(-1, keepdims=True)
+    var = ((xn - mean) ** 2).mean(-1, keepdims=True)
+    expected = (xn - mean) / np.sqrt(var + 1e-5) * np.asarray(scale) + np.asarray(bias)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(resid), np.asarray(x), atol=1e-6)
+
+
+@pytest.mark.parametrize("tq,tk", [(256, 256), (256, 77), (100, 77)])
+def test_flash_attention_matches_xla(tq, tk):
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(2, tq, 4, 64).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, tk, 4, 64).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, tk, 4, 64).astype(np.float32))
+    ref = dot_product_attention(q, k, v)
+    got = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
