@@ -194,7 +194,13 @@ def main(argv=None):
         mask_contiguous_region_prob=config.training.get("mask_contiguous_region_prob"),
         label_smoothing=config.training.get("label_smoothing", 0.0),
         cond_dropout_prob=config.training.get("cond_dropout_prob", 0.0),
-        max_grad_norm=None)
+        max_grad_norm=None,
+        with_diagnostics=bool(config.experiment.get("log_entropy_buckets", False)))
+    eval_step = T.make_uvit_eval_step(
+        model.module, mask_schedule, mask_id,
+        eval_mask_ratios=tuple(config.training.get("eval_mask_ratios",
+                                                   (0.1, 0.3, 0.5, 0.7, 0.9))),
+        label_smoothing=config.training.get("label_smoothing", 0.0))
 
     # -- resume -----------------------------------------------------------------
     global_step = 0
@@ -257,6 +263,15 @@ def main(argv=None):
         center_crop=config.dataset.get("preprocessing", {}) and
         config.dataset.preprocessing.get("center_crop", False))
 
+    eval_dataset = None
+    eval_shards = ds_params.get("eval_shards_path_or_url")
+    if eval_shards:
+        eval_dataset = Text2ImageDataset(
+            eval_shards, batch_size=config.training.batch_size,
+            resolution=ds_params.get("resolution", 256),
+            shuffle_buffer_size=64, pre_encode=pre_encode, resample=False,
+            seed=seed + 7, center_crop=True)
+
     # -- loop -----------------------------------------------------------------------
     import jax.random as jrandom
 
@@ -264,7 +279,13 @@ def main(argv=None):
     log_every = config.experiment.get("log_every", 50)
     save_every = config.experiment.get("save_every", 1000)
     generate_every = config.experiment.get("generate_every", 1000)
+    eval_every = config.experiment.get("eval_every")
+    log_grad_norm_every = config.experiment.get("log_grad_norm_every")
     overfit = config.training.get("overfit_one_batch", False)
+
+    # jax.profiler trace window (reference had no profiler integration,
+    # SURVEY.md §5.1; experiment.profile_steps: [start, stop])
+    profile_steps = config.experiment.get("profile_steps")
 
     batch_time, data_time = AverageMeter(), AverageMeter()
     key = rng_key
@@ -284,6 +305,9 @@ def main(argv=None):
             cached_batch = batch
         data_time.update(time.time() - end)
 
+        if profile_steps and global_step + 1 == int(profile_steps[0]):
+            jax.profiler.start_trace(os.path.join(output_dir, "profile"))
+
         key, step_key, prep_key = jrandom.split(key, 3)
         model_batch = prepare_batch(batch, prep_key)
         state, metrics = train_step(state, model_batch, step_key)
@@ -291,8 +315,19 @@ def main(argv=None):
         batch_time.update(time.time() - end)
         end = time.time()
 
+        if profile_steps and global_step == int(profile_steps[1]):
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            logger.info(f"wrote profiler trace to {output_dir}/profile")
+
         if global_step % log_every == 0 and is_main:
-            m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+            m = {}
+            for k, v in metrics.items():
+                v = jax.device_get(v)
+                if hasattr(v, "ndim") and v.ndim > 0:
+                    m[k] = [round(float(x), 4) for x in np.asarray(v)]
+                else:
+                    m[k] = float(v)
             m.update({
                 "lr": float(schedule(jnp.asarray(global_step))),
                 "samples/sec/host": config.training.batch_size / max(batch_time.avg, 1e-9),
@@ -302,6 +337,19 @@ def main(argv=None):
             tracker.log(m, global_step)
             logger.info(f"step {global_step}: loss={m['loss']:.4f} "
                         f"({m['samples/sec/host']:.1f} samples/s)")
+
+        if eval_every and eval_dataset is not None and \
+                global_step % eval_every == 0 and is_main:
+            losses = []
+            for i, eval_batch in enumerate(eval_dataset):
+                if i >= config.experiment.get("max_eval_batches", 8):
+                    break
+                eb = prepare_batch(eval_batch, jrandom.fold_in(key, 999 + i))
+                losses.append(float(jax.device_get(
+                    eval_step(state.params, eb, jrandom.fold_in(key, i)))))
+            if losses:
+                tracker.log({"eval_loss": float(np.mean(losses))}, global_step)
+                logger.info(f"step {global_step}: eval_loss={np.mean(losses):.4f}")
 
         if global_step % generate_every == 0 and is_main and vq_model is not None:
             model.params = state.ema_params if state.ema_params is not None else state.params

@@ -35,7 +35,9 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_uvit_train_step",
+    "make_uvit_eval_step",
     "make_maskgit_train_step",
+    "per_parameter_grad_norms",
     "save_checkpoint",
     "load_checkpoint",
     "find_latest_checkpoint",
@@ -119,6 +121,7 @@ def make_uvit_train_step(
     cond_dropout_prob: float = 0.0,
     ema_decay: Optional[float] = 0.9999,
     max_grad_norm: Optional[float] = None,
+    with_diagnostics: bool = False,
 ) -> Callable:
     """Jitted text2image train step for MaskGiTUViT_v2.
 
@@ -126,6 +129,10 @@ def make_uvit_train_step(
     cond_embeds (B,D'), micro_conds (B,5), empty_embeds (1,T,D),
     empty_cond_embeds (1,D').  Masking + CFG cond-dropout happen inside
     (reference train_muse.py:612-683, 715-731).
+
+    with_diagnostics adds the reference's bucketed entropy/CE metrics
+    (train_muse.py:1317-1379) computed inside the same program — each is a
+    10-vector, so the logging cost is negligible.
     """
 
     def loss_fn(params, batch, key):
@@ -147,12 +154,12 @@ def make_uvit_train_step(
         logits, loss = module.apply(
             {"params": params}, input_ids, ehs, cond, batch["micro_conds"],
             labels=labels, loss_weight=loss_weight, label_smoothing=label_smoothing)
-        return loss, (mask_prob, logits)
+        return loss, (mask_prob, logits, input_ids, labels)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, Any], key):
-        (loss, (mask_prob, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key)
+        (loss, (mask_prob, logits, input_ids, labels)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, key)
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -166,10 +173,53 @@ def make_uvit_train_step(
             "grad_norm": grad_norm,
             "avg_masking_rate": jnp.mean(mask_prob),
         }
+        if with_diagnostics:
+            from ..utils import training_utils as tu
+
+            metrics["pixel_entropy_by_bucket"] = \
+                tu.pixel_entropy_per_percent_masked_bucket(logits, input_ids, mask_id)
+            metrics["image_entropy_by_bucket"] = \
+                tu.image_entropy_per_percent_masked_bucket(logits, input_ids, mask_id)
+            metrics["cross_entropy_by_bucket"] = \
+                tu.cross_entropy_per_percent_masked_bucket(
+                    logits, labels, input_ids, mask_id, codebook_size,
+                    label_smoothing)
         return TrainState(step=state.step + 1, params=new_params,
                           opt_state=new_opt_state, ema_params=new_ema), metrics
 
     return train_step
+
+
+def make_uvit_eval_step(module, mask_schedule, mask_id: int, *,
+                        eval_mask_ratios=(0.1, 0.3, 0.5, 0.7, 0.9),
+                        label_smoothing: float = 0.0) -> Callable:
+    """Eval loss at fixed mask ratios (reference validate_model with
+    eval_mask_ratios, train_muse.py:942-993, :152-154)."""
+
+    @jax.jit
+    def eval_step(params, batch, key):
+        input_ids, labels, _, mask_prob = mask_or_random_replace_tokens(
+            key, batch["image_tokens"], mask_id, mask_schedule,
+            eval_mask_ratios=list(eval_mask_ratios), is_train=False)
+        _, loss = module.apply(
+            {"params": params}, input_ids, batch["encoder_hidden_states"],
+            batch["cond_embeds"], batch["micro_conds"], labels=labels,
+            label_smoothing=label_smoothing)
+        return loss
+
+    return eval_step
+
+
+def per_parameter_grad_norms(grads, top_k: int = 20):
+    """Largest per-parameter grad norms (reference logs every parameter's
+    grad norm, train_muse.py:1309-1314); returns {path: norm}."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    norms = {
+        ".".join(str(getattr(k, "key", k)) for k in path):
+            float(jax.device_get(jnp.linalg.norm(leaf.astype(jnp.float32))))
+        for path, leaf in flat
+    }
+    return dict(sorted(norms.items(), key=lambda kv: -kv[1])[:top_k])
 
 
 def make_maskgit_train_step(

@@ -80,9 +80,16 @@ def test_train_muse_cli(tmp_path):
                         "num_attention_heads": 4, "intermediate_size": 96},
     }
     cfg["training"]["cond_dropout_prob"] = 0.1
+    cfg["dataset"]["params"]["eval_shards_path_or_url"] = shard
+    cfg["experiment"]["eval_every"] = 4
+    cfg["experiment"]["max_eval_batches"] = 1
+    cfg["experiment"]["log_entropy_buckets"] = True
     state = main([f"config={_write_cfg(tmp_path, cfg)}"])
     out = cfg["experiment"]["output_dir"]
     assert os.path.isfile(os.path.join(out, "metrics.jsonl"))
+    logged = [json.loads(line) for line in open(os.path.join(out, "metrics.jsonl"))]
+    assert any("eval_loss" in m for m in logged)
+    assert any("pixel_entropy_by_bucket" in m for m in logged)
     assert os.path.isdir(os.path.join(out, "checkpoint-4", "unwrapped_model"))
     assert os.path.isfile(os.path.join(out, "samples-4.png"))
     # resume from the checkpoint and run 2 more steps
