@@ -3,9 +3,11 @@
 The VQ hot spot (reference modeling_maskgit_vqgan.py:303-316 addmm trick;
 BASELINE.json north-star) computes an (N, K) distance matrix then argmins it.
 XLA materializes that matrix in HBM (N=B*H*W up to ~65k rows, K up to 16384:
-a 4GB fp32 intermediate at batch 64).  This kernel streams codebook tiles
-through VMEM and keeps only a running (min, argmin) per row — O(N) memory,
-one MXU matmul per tile, distances never touch HBM.
+a 4GB fp32 intermediate at batch 64).  This kernel makes K a grid dimension:
+the Pallas pipeline streams codebook tiles HBM->VMEM (double-buffered DMA
+overlapped with the MXU matmul) while a VMEM scratch holds only the running
+(min, argmin) per row — O(N) memory, distances never touch HBM, and the whole
+codebook never has to fit VMEM at once.
 
 Distance note: argmin_k ||z - e_k||^2 == argmin_k (||e_k||^2 - 2 z.e_k), so
 the per-row ||z||^2 term is dropped entirely.
@@ -22,65 +24,73 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["vq_argmin"]
 
+BLOCK_N = 1024  # rows per grid step; int32 output tiles are (8, 128)
 
-def _kernel(z_ref, cb_ref, e_sq_ref, idx_ref, *, block_k: int):
-    """One grid step: z tile (TN, C) vs the full codebook (K, C) in VMEM."""
+
+def _kernel(z_ref, cb_ref, e_sq_ref, idx_ref, best_val, best_idx, *,
+            block_k: int):
+    j = pl.program_id(1)
+    num_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_val[:, :] = jnp.full_like(best_val[:, :], jnp.inf)
+        best_idx[:, :] = jnp.zeros_like(best_idx[:, :])
+
     z = z_ref[:].astype(jnp.float32)
-    num_k = cb_ref.shape[0]
-    tn = z.shape[0]
+    cb = cb_ref[:].astype(jnp.float32)
+    scores = e_sq_ref[0][None, :] - 2.0 * jax.lax.dot_general(
+        z, cb, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    local_val = jnp.min(scores, axis=1).reshape(best_val.shape)
+    local_idx = (jnp.argmin(scores, axis=1).astype(jnp.int32)
+                 + j * block_k).reshape(best_idx.shape)
+    take = local_val < best_val[:, :]  # strict: earlier tile wins ties
+    best_val[:, :] = jnp.where(take, local_val, best_val[:, :])
+    best_idx[:, :] = jnp.where(take, local_idx, best_idx[:, :])
 
-    def body(k, carry):
-        best_val, best_idx = carry
-        cb = cb_ref[pl.ds(k * block_k, block_k), :].astype(jnp.float32)
-        e_sq = e_sq_ref[0, pl.ds(k * block_k, block_k)]
-        # (TN, TK) partial distances on the MXU
-        scores = e_sq[None, :] - 2.0 * jax.lax.dot_general(
-            z, cb, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        local_val = jnp.min(scores, axis=1)
-        local_idx = jnp.argmin(scores, axis=1).astype(jnp.int32) + k * block_k
-        take = local_val < best_val  # strict: first minimum wins (torch parity)
-        return (jnp.where(take, local_val, best_val),
-                jnp.where(take, local_idx, best_idx))
-
-    init = (jnp.full((tn,), jnp.inf, dtype=jnp.float32),
-            jnp.zeros((tn,), dtype=jnp.int32))
-    _, best_idx = jax.lax.fori_loop(0, num_k // block_k, body, init)
-    idx_ref[:, :] = best_idx.reshape(idx_ref.shape)
+    @pl.when(j == num_j - 1)
+    def _():
+        idx_ref[:, :] = best_idx[:, :]
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
-def vq_argmin(flat_states, codebook, block_n: int = 512, block_k: int = 1024,
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def vq_argmin(flat_states, codebook, block_k: int = 1024,
               interpret: bool = False):
     """argmin_k ||z_n - e_k||^2 for z (N, C), codebook (K, C) -> (N,) int32.
 
-    Pads N up to block_n and K handling requires K % block_k == 0 (all
-    reference codebooks are powers of two >= 1024).
+    Requires K % block_k == 0 (all reference codebooks are powers of two
+    >= 1024); N pads to 1024 rows internally.
     """
     n, c = flat_states.shape
     k = codebook.shape[0]
     block_k = min(block_k, k)
     if k % block_k:
         raise ValueError(f"K={k} must be divisible by block_k={block_k}")
-    # int32 tiles are (8, 128): each grid step emits an (8, 128) index block
-    block_n = 1024
-    pad_n = (-n) % block_n
+    pad_n = (-n) % BLOCK_N
     z = jnp.pad(flat_states, ((0, pad_n), (0, 0))) if pad_n else flat_states
     e_sq = jnp.sum(jnp.square(codebook.astype(jnp.float32)), axis=1)[None, :]
 
-    grid = (z.shape[0] // block_n,)
+    grid = (z.shape[0] // BLOCK_N, k // block_k)
+    sub = BLOCK_N // 128
     idx = pl.pallas_call(
         functools.partial(_kernel, block_k=block_k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_n, c), lambda i: (i, 0),
+            pl.BlockSpec((BLOCK_N, c), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, c), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((sub, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid[0] * 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((grid[0] * sub, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((sub, 128), jnp.float32),
+            pltpu.VMEM((sub, 128), jnp.int32),
+        ],
         interpret=interpret,
     )(z, codebook, e_sq)
     return idx.reshape(-1)[:n]

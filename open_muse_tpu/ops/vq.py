@@ -24,11 +24,16 @@ __all__ = ["VectorQuantizer", "compute_distances", "nearest_codebook_indices"]
 
 
 def _use_pallas_argmin(n, c, k) -> bool:
-    """Dispatch the fused Pallas kernel: TPU backend, K a multiple of 1024,
-    codebook + one K-tile fits VMEM comfortably."""
+    """Dispatch the fused Pallas kernel: opt-in via MUSE_TPU_PALLAS_VQ=1
+    (some remote-TPU toolchains stall on Mosaic compiles; the XLA path is
+    always correct), TPU backend, K a multiple of 1024."""
+    import os
+
+    if os.environ.get("MUSE_TPU_PALLAS_VQ", "0") != "1":
+        return False
     if jax.default_backend() != "tpu":
         return False
-    return k % 1024 == 0 and k * c * 4 <= 8 * 1024 * 1024
+    return k % 1024 == 0
 
 
 def nearest_codebook_indices(flat_states, codebook, metric: str = "sq_l2"):
