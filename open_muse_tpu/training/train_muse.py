@@ -83,6 +83,59 @@ def save_image_grid(images, path: str):
     Image.fromarray((grid * 255).astype(np.uint8)).save(path)
 
 
+def load_inpainting_validation_data(directory: str, image_size: int,
+                                    latent_side: int):
+    """Folders of image+mask where the folder NAME is the prompt
+    (reference train_muse.py:1220-1262)."""
+    from PIL import Image
+
+    entries = []
+    for prompt_dir in sorted(os.listdir(directory)):
+        full = os.path.join(directory, prompt_dir)
+        if not os.path.isdir(full):
+            continue
+        files = os.listdir(full)
+        img_file = next((f for f in files if "mask" not in f.lower()
+                         and f.lower().endswith((".png", ".jpg", ".jpeg"))), None)
+        mask_file = next((f for f in files if "mask" in f.lower()), None)
+        if not img_file or not mask_file:
+            continue
+        image = Image.open(os.path.join(full, img_file)).convert("RGB") \
+            .resize((image_size, image_size))
+        mask = Image.open(os.path.join(full, mask_file)).convert("L") \
+            .resize((latent_side, latent_side))
+        entries.append({
+            "prompt": prompt_dir.replace("_", " "),
+            "image": np.asarray(image, dtype=np.float32) / 255.0,
+            "mask": np.asarray(mask) > 127,
+        })
+    return entries
+
+
+def generate_inpainting_images(model, vq_model, entries, encode_text, mask_id,
+                               micro_conds, empty_embeds, empty_cond_embeds,
+                               out_path, key):
+    """In-training inpainting panels (reference train_muse.py:1120-1215)."""
+    import jax
+    import jax.numpy as jnp
+
+    panels = []
+    for i, entry in enumerate(entries):
+        pixels = jnp.asarray(entry["image"])[None]
+        _, tokens = vq_model.encode(pixels)
+        mask = jnp.asarray(entry["mask"].reshape(1, -1))
+        tokens = jnp.where(mask, mask_id, tokens)
+        ehs, pooled = encode_text([entry["prompt"]])
+        gen = model.generate2(
+            ehs, pooled, micro_conds, empty_embeds=empty_embeds,
+            empty_cond_embeds=empty_cond_embeds, input_ids=tokens,
+            timesteps=8, guidance_scale=8.0, seq_len=int(tokens.shape[1]),
+            key=jax.random.fold_in(key, i))
+        panels.append(np.asarray(jax.device_get(vq_model.decode_code(gen)))[0])
+    if panels:
+        save_image_grid(np.stack(panels), out_path)
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -363,6 +416,28 @@ def main(argv=None):
             images = vq_model.decode_code(tokens)
             save_image_grid(np.asarray(jax.device_get(images)),
                             os.path.join(output_dir, f"samples-{global_step}.png"))
+
+            inpaint_dir = config.experiment.get("inpainting_validation_dir")
+            if inpaint_dir and text_encoder is not None:
+                latent_side = int(model_batch["image_tokens"].shape[1] ** 0.5)
+                entries = load_inpainting_validation_data(
+                    inpaint_dir, config.dataset.params.get("resolution", 256),
+                    latent_side)
+
+                def encode_text(texts):
+                    ids = jnp.asarray(tokenizer(texts, padding="max_length",
+                                                truncation=True,
+                                                max_length=tokenizer.model_max_length,
+                                                return_tensors="np")["input_ids"])
+                    hs, _, pooled = text_encoder.encode(ids)
+                    return hs[-2], pooled
+
+                generate_inpainting_images(
+                    model, vq_model, entries, encode_text, mask_id,
+                    model_batch["micro_conds"][:1], empty_embeds,
+                    empty_cond_embeds,
+                    os.path.join(output_dir, f"inpainting-{global_step}.png"),
+                    jrandom.fold_in(key, 2))
 
         if global_step % save_every == 0:
             model.params = state.params

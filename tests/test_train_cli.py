@@ -84,12 +84,23 @@ def test_train_muse_cli(tmp_path):
     cfg["experiment"]["eval_every"] = 4
     cfg["experiment"]["max_eval_batches"] = 1
     cfg["experiment"]["log_entropy_buckets"] = True
+    # inpainting validation: one prompt dir with image + mask
+    from PIL import Image
+
+    ipd = tmp_path / "inpaint" / "a_red_square"
+    ipd.mkdir(parents=True)
+    Image.fromarray((np.random.RandomState(0).rand(32, 32, 3) * 255)
+                    .astype(np.uint8)).save(ipd / "image.png")
+    Image.fromarray((np.ones((16, 16)) * 255).astype(np.uint8)).save(
+        ipd / "mask.png")
+    cfg["experiment"]["inpainting_validation_dir"] = str(tmp_path / "inpaint")
     state = main([f"config={_write_cfg(tmp_path, cfg)}"])
     out = cfg["experiment"]["output_dir"]
     assert os.path.isfile(os.path.join(out, "metrics.jsonl"))
     logged = [json.loads(line) for line in open(os.path.join(out, "metrics.jsonl"))]
     assert any("eval_loss" in m for m in logged)
     assert any("pixel_entropy_by_bucket" in m for m in logged)
+    assert os.path.isfile(os.path.join(out, "inpainting-4.png"))
     assert os.path.isdir(os.path.join(out, "checkpoint-4", "unwrapped_model"))
     assert os.path.isfile(os.path.join(out, "samples-4.png"))
     # resume from the checkpoint and run 2 more steps
