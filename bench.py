@@ -37,6 +37,10 @@ def build_components():
         projection_dim=768, dtype=jnp.bfloat16)
     vae = VQGANModel(resolution=256, num_embeddings=8192, z_channels=256,
                      quantized_embed_dim=256)  # f16: 256 tokens at 256px
+    # bf16 weights halve HBM traffic per decode step (VQ stays fp32 like the
+    # reference keeps its VAE fp32, pipeline_muse.py:61)
+    transformer.astype(jnp.bfloat16)
+    text_encoder.astype(jnp.bfloat16)
     return transformer, text_encoder, vae
 
 
@@ -52,19 +56,26 @@ def main():
     micro_conds = jnp.asarray([[512, 512, 0, 0, 6.0]], dtype=jnp.float32)
     key = jax.random.PRNGKey(0)
 
+    # the WHOLE pipeline (text encode -> 12-step CFG decode -> VQ decode) is
+    # ONE fused XLA program: a single dispatch per image
+    from open_muse_tpu.pipelines.pipeline_muse import PipelineMuse
+
+    class _Tok:
+        def __call__(self, texts, **kw):
+            return {"input_ids": np.asarray(jax.device_get(empty_ids))}
+
+        model_max_length = 77
+
+    import jax
+
+    pipe = PipelineMuse(vae=vae, transformer=transformer,
+                        text_encoder=text_encoder, tokenizer=_Tok())
+    fused = pipe.compile_text2image(batch_size=BATCH, timesteps=TIMESTEPS,
+                                    guidance_scale=8.0, temperature=(2, 0),
+                                    seq_len=256)
+
     def pipeline_call(step_key):
-        hidden_states, _, pooled = text_encoder.encode(input_ids)
-        ehs = hidden_states[-2]
-        e_hidden, _, e_pooled = text_encoder.encode(empty_ids)
-        empty_embeds = e_hidden[-2]
-        tokens = transformer.generate2(
-            ehs.astype(jnp.bfloat16), pooled.astype(jnp.bfloat16), micro_conds,
-            empty_embeds=jnp.broadcast_to(empty_embeds, ehs.shape).astype(jnp.bfloat16),
-            empty_cond_embeds=jnp.broadcast_to(e_pooled, pooled.shape).astype(jnp.bfloat16),
-            timesteps=TIMESTEPS, guidance_scale=8.0, temperature=(2, 0),
-            seq_len=256, key=step_key)
-        images = vae.decode_code(tokens)
-        return images
+        return fused(input_ids, micro_conds, step_key)
 
     # warmup / compile (force real completion through a dependent scalar:
     # block_until_ready can return early through the device tunnel)

@@ -17,6 +17,7 @@ TPU-native redesign highlights:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -382,6 +383,51 @@ class MaskGiTUViT_v2Module(nn.Module):
         return logits
 
 
+def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
+                         key, temperatures, guidance_scales, mask_ratios, *,
+                         use_cfg: bool, seq_len: int, timesteps: int,
+                         return_intermediate: bool = False):
+    """Pure, traceable MaskGIT decode loop (reference
+    modeling_transformer_v2.py:422-474) — usable standalone (jitted by
+    generate2) or embedded into a larger program (e.g. the fully-fused
+    text->image pipeline in pipelines/pipeline_muse.py)."""
+
+    def step(carry, step_idx):
+        ids, key = carry
+        model_input = jnp.concatenate([ids, ids], axis=0) if use_cfg else ids
+        logits = apply_fn({"params": params}, model_input, ehs, conds, micros)
+        logits = logits[..., : cfg.codebook_size].astype(jnp.float32)
+        if use_cfg:
+            cond_logits, uncond_logits = jnp.split(logits, 2, axis=0)
+            logits = uncond_logits + guidance_scales[step_idx] * (
+                cond_logits - uncond_logits)
+
+        key, sample_key, mask_key = jax.random.split(key, 3)
+        probs = jax.nn.softmax(logits, axis=-1)
+        sampled_ids = jax.random.categorical(sample_key, logits, axis=-1)
+        unknown_map = ids == cfg.mask_token_id
+        sampled_ids = jnp.where(unknown_map, sampled_ids, ids)
+
+        mask_len = jnp.floor(seq_len * mask_ratios[step_idx])
+        mask_len = jnp.maximum(
+            1.0, jnp.minimum(jnp.sum(unknown_map, axis=-1, keepdims=True) - 1.0,
+                             mask_len))
+        selected = jnp.take_along_axis(probs, sampled_ids[..., None], axis=-1)[..., 0]
+        selected = jnp.where(unknown_map, selected, jnp.finfo(jnp.float32).max)
+        masking = sampling.mask_by_random_topk(mask_key, mask_len, selected,
+                                               temperatures[step_idx])
+        new_ids = jnp.where(masking, cfg.mask_token_id, sampled_ids)
+        out = sampled_ids if return_intermediate else None
+        return (new_ids.astype(jnp.int32), key), (out, sampled_ids)
+
+    (_, _), (intermediate, all_sampled) = jax.lax.scan(
+        step, (input_ids.astype(jnp.int32), key), jnp.arange(timesteps))
+    final = all_sampled[-1]
+    if return_intermediate:
+        return final, intermediate
+    return final
+
+
 class MaskGiTUViT_v2(ModelMixin):
     config_class = MaskGiTUViT_v2Config
     _class_name = "MaskGiTUViT_v2"
@@ -522,53 +568,10 @@ class MaskGiTUViT_v2(ModelMixin):
         cache_key = ("generate2", timesteps, use_cfg, bool(return_intermediate),
                      int(seq_len))
         if cache_key not in self._jit_cache:
-            apply_fn = self.module.apply
-
-            @jax.jit
-            def run(params, input_ids, ehs, conds, micros, key, temperatures,
-                    guidance_scales, mask_ratios):
-                def step(carry, step_idx):
-                    ids, key = carry
-                    if use_cfg:
-                        model_input = jnp.concatenate([ids, ids], axis=0)
-                    else:
-                        model_input = ids
-                    logits = apply_fn({"params": params}, model_input, ehs, conds,
-                                      micros)
-                    logits = logits[..., : cfg.codebook_size].astype(jnp.float32)
-                    if use_cfg:
-                        cond_logits, uncond_logits = jnp.split(logits, 2, axis=0)
-                        logits = uncond_logits + guidance_scales[step_idx] * (
-                            cond_logits - uncond_logits)
-
-                    key, sample_key, mask_key = jax.random.split(key, 3)
-                    probs = jax.nn.softmax(logits, axis=-1)
-                    sampled_ids = jax.random.categorical(sample_key, logits, axis=-1)
-                    unknown_map = ids == cfg.mask_token_id
-                    sampled_ids = jnp.where(unknown_map, sampled_ids, ids)
-
-                    mask_len = jnp.floor(seq_len * mask_ratios[step_idx])
-                    mask_len = jnp.maximum(
-                        1.0,
-                        jnp.minimum(jnp.sum(unknown_map, axis=-1, keepdims=True) - 1.0,
-                                    mask_len))
-                    selected = jnp.take_along_axis(probs, sampled_ids[..., None],
-                                                   axis=-1)[..., 0]
-                    selected = jnp.where(unknown_map, selected, jnp.finfo(jnp.float32).max)
-                    masking = sampling.mask_by_random_topk(mask_key, mask_len, selected,
-                                                           temperatures[step_idx])
-                    new_ids = jnp.where(masking, cfg.mask_token_id, sampled_ids)
-                    out = sampled_ids if return_intermediate else None
-                    return (new_ids.astype(jnp.int32), key), (out, sampled_ids)
-
-                (_, _), (intermediate, all_sampled) = jax.lax.scan(
-                    step, (input_ids.astype(jnp.int32), key),
-                    jnp.arange(timesteps))
-                final = all_sampled[-1]
-                if return_intermediate:
-                    return final, intermediate
-                return final
-
+            run = jax.jit(functools.partial(
+                parallel_decode_loop, self.module.apply, cfg,
+                use_cfg=use_cfg, seq_len=int(seq_len), timesteps=timesteps,
+                return_intermediate=return_intermediate))
             self._jit_cache[cache_key] = run
         return self._jit_cache[cache_key](self.params, input_ids, ehs, conds, micros,
                                           key, temperatures, guidance_scales,

@@ -217,6 +217,71 @@ class PipelineMuse:
         image = np.clip(np.asarray(image, dtype=np.float32), 0.0, 1.0)
         return Image.fromarray((255 * image).astype(np.uint8)).convert("RGB")
 
+    # -- fully-fused pipeline --------------------------------------------------
+
+    def compile_text2image(self, batch_size: int = 1, timesteps: int = 12,
+                           guidance_scale: float = 8.0,
+                           temperature=(2, 0), seq_len: int = 256,
+                           noise_schedule: str = "cosine"):
+        """Compile tokenized-text -> image as ONE XLA program.
+
+        The entire flow — CLIP encode (prompt + empty batched together), the
+        MaskGIT CFG decode loop, and the fp32 VQ decode — fuses into a single
+        dispatch.  This is the TPU-native serving entry point: no host
+        round-trips between stages (the reference crosses Python between
+        every stage and every decode step).
+
+        Returns fn(input_ids (B,77) int32, micro_conds (B,5), key) -> images
+        NHWC float.
+        """
+        import numpy as np
+
+        from ..models.transformer_v2 import parallel_decode_loop
+        from ..ops.sampling import get_mask_schedule
+
+        tcfg = self.transformer.config
+        t_apply = self.transformer.module.apply
+        te_apply = self.text_encoder.module.apply
+        vae_apply = self.vae.module.apply
+        tdtype = self.transformer.dtype
+
+        if isinstance(temperature, (tuple, list)):
+            temperatures = np.linspace(temperature[0], temperature[1], timesteps)
+        else:
+            temperatures = np.linspace(temperature, 0.01, timesteps)
+        schedule_fn = get_mask_schedule(noise_schedule)
+        ratios = (np.arange(timesteps, dtype=np.float64) + 1) / timesteps
+        mask_ratios = np.asarray(jax.device_get(
+            schedule_fn(jnp.asarray(ratios, dtype=jnp.float32))))
+        temperatures = jnp.asarray(temperatures, dtype=jnp.float32)
+        guidance_scales = jnp.full((timesteps,), guidance_scale, jnp.float32)
+        mask_ratios = jnp.asarray(mask_ratios, jnp.float32)
+        empty_ids = self._tokenize([""]) if self.tokenizer is not None else None
+
+        @jax.jit
+        def fused(t_params, te_params, vae_params, input_ids, micro_conds, key):
+            both = jnp.concatenate(
+                [input_ids, jnp.broadcast_to(empty_ids, input_ids.shape)], axis=0)
+            hidden_states, _, pooled = te_apply({"params": te_params}, both)
+            ehs = hidden_states[-2].astype(tdtype)
+            pooled = pooled.astype(tdtype)
+            conds = pooled  # [cond | empty] already in CFG order
+            micros = jnp.concatenate([micro_conds, micro_conds], axis=0)
+            start_ids = jnp.full((batch_size, seq_len), tcfg.mask_token_id,
+                                 dtype=jnp.int32)
+            tokens = parallel_decode_loop(
+                t_apply, tcfg, t_params, start_ids, ehs, conds, micros, key,
+                temperatures, guidance_scales, mask_ratios,
+                use_cfg=guidance_scale > 0, seq_len=seq_len, timesteps=timesteps)
+            return vae_apply({"params": vae_params}, tokens,
+                             method=self.vae.module.decode_code)
+
+        def fn(input_ids, micro_conds, key):
+            return fused(self.transformer.params, self.text_encoder.params,
+                         self.vae.params, input_ids, micro_conds, key)
+
+        return fn
+
     # -- serialization -------------------------------------------------------
 
     @classmethod

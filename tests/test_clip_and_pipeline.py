@@ -150,6 +150,18 @@ def test_pipeline_inpainting(tiny_pipeline):
     assert images[0].size == (32, 32)
 
 
+def test_pipeline_compile_text2image_fused(tiny_pipeline):
+    """The fused one-program pipeline matches the staged pipeline's contract:
+    tokenized text in, decoded images out."""
+    fused = tiny_pipeline.compile_text2image(batch_size=2, timesteps=3,
+                                             guidance_scale=2.0, seq_len=256)
+    ids = jnp.asarray(DummyTokenizer()(["a", "bb"])["input_ids"])
+    micro = jnp.asarray([[512, 512, 0, 0, 6.0]] * 2, dtype=jnp.float32)
+    images = fused(ids, micro, jax.random.PRNGKey(0))
+    assert images.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(images)).all()
+
+
 def test_pipeline_class_conditional():
     vae = MaskGitVQGAN(**VAE_TINY)
     transformer = MaskGitTransformer(
