@@ -231,6 +231,11 @@ class _VQWrapperMixin:
         return self.jit_apply("__call__", self._to_nhwc(pixel_values),
                               return_loss=return_loss)
 
+    def get_soft_code(self, pixel_values, temp: float = 1.0, stochastic: bool = False,
+                      key=None):
+        return self.apply(self._to_nhwc(pixel_values), temp, stochastic, key,
+                          method="get_soft_code")
+
     @staticmethod
     def _to_nhwc(pixel_values):
         """Accept NCHW (reference layout) or NHWC; convert to NHWC."""
@@ -249,8 +254,3 @@ class MaskGitVQGAN(_VQWrapperMixin, ModelMixin):
     def example_inputs(self):
         r = self.config.resolution
         return (jnp.zeros((1, r, r, self.config.num_channels), dtype=self.dtype),)
-
-    def get_soft_code(self, pixel_values, temp: float = 1.0, stochastic: bool = False,
-                      key=None):
-        return self.apply(self._to_nhwc(pixel_values), temp, stochastic, key,
-                          method="get_soft_code")
