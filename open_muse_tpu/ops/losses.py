@@ -51,11 +51,16 @@ def weighted_cross_entropy_loss(logits, labels, loss_weight, label_smoothing: fl
     return jnp.sum(nll * w) / jnp.sum(w)
 
 
-def soft_target_cross_entropy(logits, targets, soft_targets):
-    """Soft-target CE for distillation-style VQ targets
-    (training/train_muse.py:126-142).  The first token (class id) is dropped."""
-    logits = logits[:, 1:]
-    targets = targets[:, 1:]
+def soft_target_cross_entropy(logits, targets, soft_targets, drop_first: bool = True):
+    """Soft-target CE for soft VQ codes (training/train_muse.py:126-142).
+
+    drop_first reproduces the reference's unconditional `[:, 1:]` slice (it
+    assumes a class-id token even in the text2image trainer); pass False when
+    there is no class token."""
+    if drop_first:
+        # soft_targets come from the VQ and carry no class token
+        logits = logits[:, 1:]
+        targets = targets[:, 1:]
     logits = logits[..., : soft_targets.shape[-1]]
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     padding_mask = targets == IGNORE_INDEX

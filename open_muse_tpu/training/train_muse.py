@@ -248,7 +248,8 @@ def main(argv=None):
         label_smoothing=config.training.get("label_smoothing", 0.0),
         cond_dropout_prob=config.training.get("cond_dropout_prob", 0.0),
         max_grad_norm=None,
-        with_diagnostics=bool(config.experiment.get("log_entropy_buckets", False)))
+        with_diagnostics=bool(config.experiment.get("log_entropy_buckets", False)),
+        use_soft_targets=bool(config.training.get("use_soft_code_target", False)))
     eval_step = T.make_uvit_eval_step(
         model.module, mask_schedule, mask_id,
         eval_mask_ratios=tuple(config.training.get("eval_mask_ratios",
@@ -284,7 +285,16 @@ def main(argv=None):
             out["cond_embeds"] = jnp.asarray(batch["cond_embeds"])
         else:
             pixels = jnp.asarray(batch["pixel_values"])
-            out["image_tokens"] = vq_model.get_code(pixels)
+            if config.training.get("use_soft_code_target", False):
+                # soft VQ targets (reference train_muse.py:622-628)
+                soft_targets, tokens = vq_model.get_soft_code(
+                    pixels, temp=config.training.get("soft_code_temp", 1.0),
+                    stochastic=config.training.get("use_stochastic_code", False),
+                    key=key)
+                out["soft_targets"] = soft_targets
+                out["image_tokens"] = tokens
+            else:
+                out["image_tokens"] = vq_model.get_code(pixels)
             ids = jnp.asarray(tokenizer(batch["input_text"], padding="max_length",
                                         truncation=True,
                                         max_length=tokenizer.model_max_length,

@@ -122,6 +122,7 @@ def make_uvit_train_step(
     ema_decay: Optional[float] = 0.9999,
     max_grad_norm: Optional[float] = None,
     with_diagnostics: bool = False,
+    use_soft_targets: bool = False,
 ) -> Callable:
     """Jitted text2image train step for MaskGiTUViT_v2.
 
@@ -151,9 +152,21 @@ def make_uvit_train_step(
             ehs = jnp.where(keep, ehs, batch["empty_embeds"])
             cond = jnp.where(keep[:, :, 0], cond, batch["empty_cond_embeds"])
 
-        logits, loss = module.apply(
-            {"params": params}, input_ids, ehs, cond, batch["micro_conds"],
-            labels=labels, loss_weight=loss_weight, label_smoothing=label_smoothing)
+        if use_soft_targets:
+            # soft VQ codes as targets (reference train_muse.py:622-628,
+            # 699-712; batch supplies soft_targets from vq.get_soft_code)
+            from ..ops.losses import soft_target_cross_entropy
+
+            logits = module.apply({"params": params}, input_ids, ehs, cond,
+                                  batch["micro_conds"])
+            loss = soft_target_cross_entropy(logits, labels,
+                                             batch["soft_targets"],
+                                             drop_first=False)
+        else:
+            logits, loss = module.apply(
+                {"params": params}, input_ids, ehs, cond, batch["micro_conds"],
+                labels=labels, loss_weight=loss_weight,
+                label_smoothing=label_smoothing)
         return loss, (mask_prob, logits, input_ids, labels)
 
     @partial(jax.jit, donate_argnums=(0,))

@@ -117,6 +117,28 @@ def test_uvit_train_step_reduces_loss():
     assert np.isfinite(float(metrics["grad_norm"]))
 
 
+def test_uvit_train_step_soft_targets():
+    model = MaskGiTUViT_v2(**UVIT_TINY)
+    tx = get_optimizer("adamw", 1e-3)
+    state = T.create_train_state(model.params, tx)
+    step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule, 67,
+                                     codebook_size=64, use_soft_targets=True)
+    rs = np.random.RandomState(5)
+    batch = _uvit_batch(rs)
+    soft = rs.rand(4, 16, 64).astype(np.float32)
+    soft = soft / soft.sum(-1, keepdims=True)
+    batch["soft_targets"] = jnp.asarray(soft)
+    losses = []
+    for _ in range(4):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(11))
+        losses.append(float(metrics["loss"]))
+    # random soft targets sit near the entropy floor; just require finite,
+    # moving loss and finite grads
+    assert np.isfinite(losses).all()
+    assert losses[0] != losses[-1]
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
 def test_maskgit_train_step():
     model = MaskGitTransformer(
         vocab_size=70, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
