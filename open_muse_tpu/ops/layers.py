@@ -156,8 +156,17 @@ def dot_product_attention(query, key, value, scale: Optional[float] = None):
     Sequence lengths in this model family are small (<=1024 image + 77 text
     tokens), so a plain fused-by-XLA attention saturates the MXU; this is the
     TPU answer to xformers memory_efficient_attention
-    (muse/modeling_transformer_v2.py:881-889).
+    (muse/modeling_transformer_v2.py:881-889).  Set MUSE_TPU_PALLAS_ATTN=1 to
+    route through the Pallas on-chip-softmax kernel instead
+    (ops/pallas/flash_attention.py).
     """
+    import os
+
+    if os.environ.get("MUSE_TPU_PALLAS_ATTN", "0") == "1" and \
+            jax.default_backend() == "tpu":
+        from .pallas.flash_attention import flash_attention
+
+        return flash_attention(query, key, value)
     if scale is None:
         scale = 1.0 / math.sqrt(query.shape[-1])
     logits = jnp.einsum("bqhd,bkhd->bhqk", query, key,
