@@ -45,6 +45,9 @@ def build(resolution: int, dtype):
                      channel_mult=(1, 1, 2, 2, 4) if resolution == 256
                      else (1, 1, 2, 4),
                      z_channels=256, quantized_embed_dim=256)
+    # bf16 weights (VQ stays fp32 like the reference's fp32 VAE)
+    transformer.astype(dtype)
+    text_encoder.astype(dtype)
     seq_len = 256 if resolution == 256 else 1024
     return transformer, text_encoder, vae, seq_len
 
@@ -54,26 +57,30 @@ def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
     import jax
     import jax.numpy as jnp
 
+    from open_muse_tpu.pipelines.pipeline_muse import PipelineMuse
+
     rs = np.random.RandomState(0)
     input_ids = jnp.asarray(rs.randint(1, 49000, (batch_size, 77)), dtype=jnp.int32)
-    micro = jnp.asarray([[512, 512, 0, 0, 6.0]], dtype=jnp.float32)
+    micro = jnp.asarray([[512, 512, 0, 0, 6.0]] * batch_size, dtype=jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    def call(step_key):
-        hs, _, pooled = text_encoder.encode(input_ids)
-        ehs = hs[-2].astype(transformer.dtype)
-        pooled = pooled.astype(transformer.dtype)
-        tokens = transformer.generate2(
-            ehs, pooled, micro, empty_embeds=ehs[:1], empty_cond_embeds=pooled[:1],
-            timesteps=timesteps, guidance_scale=8.0, temperature=(2, 0),
-            seq_len=seq_len, key=step_key)
-        return vae.decode_code(tokens)
+    class _Tok:  # fixed empty-prompt ids (no network/tokenizer files needed)
+        model_max_length = 77
 
-    float(jnp.sum(call(key)))  # compile + force
+        def __call__(self, texts, **kw):
+            return {"input_ids": np.full((len(texts), 77), 49407, np.int32)}
+
+    pipe = PipelineMuse(vae=vae, transformer=transformer,
+                        text_encoder=text_encoder, tokenizer=_Tok())
+    call = pipe.compile_text2image(batch_size=batch_size, timesteps=timesteps,
+                                   guidance_scale=8.0, temperature=(2, 0),
+                                   seq_len=seq_len)
+
+    float(jnp.sum(call(input_ids, micro, key)))  # compile + force
     acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for i in range(iters):
-        acc = acc + jnp.sum(call(jax.random.fold_in(key, i)))
+        acc = acc + jnp.sum(call(input_ids, micro, jax.random.fold_in(key, i)))
     float(acc)
     total = (time.perf_counter() - t0) * 1000
     median_ms = total / iters

@@ -102,6 +102,8 @@ class PipelineMuse:
         clip_skip: Optional[int] = None,
         return_pil: bool = True,
         use_tqdm=None,
+        use_fp16: bool = False,  # accepted for reference API compat; on TPU
+                                 # load the transformer with dtype=bfloat16
     ):
         if text is None and class_ids is None:
             raise ValueError("Either text or class_ids must be provided.")
