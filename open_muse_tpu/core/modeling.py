@@ -15,7 +15,6 @@ save_pretrained / _load_pretrained_model).  TPU-native redesign:
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Any, Dict, Optional
 

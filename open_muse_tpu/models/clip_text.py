@@ -11,7 +11,6 @@ weights convert from the published torch checkpoints.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

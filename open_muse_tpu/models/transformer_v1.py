@@ -18,7 +18,7 @@ TPU-native redesign highlights:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..core.configuration import BaseConfig
 from ..core.modeling import ModelMixin
 from ..ops import sampling
-from ..ops.layers import Attention, LayerNorm, Norm, RMSNorm
+from ..ops.layers import Attention, LayerNorm, Norm
 from ..ops.losses import cross_entropy_loss
 
 __all__ = ["MaskGitTransformer", "MaskGitTransformerConfig"]

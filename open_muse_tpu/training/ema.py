@@ -9,7 +9,7 @@ EMA hyperparams in the config).  TPU-native: the update is a single fused
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

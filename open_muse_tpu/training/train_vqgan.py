@@ -23,7 +23,6 @@ import numpy as np
 def main(argv=None):
     import jax
     import jax.numpy as jnp
-    import jax.random as jrandom
     import optax
 
     from ..utils import logging as mlog

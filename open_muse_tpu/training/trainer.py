@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.losses import cross_entropy_loss, weighted_cross_entropy_loss
 from .masking import mask_or_random_replace_tokens
 
 __all__ = [
