@@ -111,6 +111,36 @@ class ModelMixin(ConfigMixin):
             self._jit_cache[cache_key] = fn
         return self._jit_cache[cache_key](self.params, *args)
 
+    # -- reference API-compat toggles ----------------------------------------
+
+    def enable_gradient_checkpointing(self):
+        """Rebuild the module with rematerialization on (reference
+        modeling_utils.py:255-268).  Only meaningful for modules exposing a
+        ``remat`` knob; a no-op otherwise."""
+        if hasattr(self, "_remat"):
+            self._remat = True
+            self.module = self.build_module()
+            self._jit_cache.clear()
+        return self
+
+    def disable_gradient_checkpointing(self):
+        if hasattr(self, "_remat"):
+            self._remat = False
+            self.module = self.build_module()
+            self._jit_cache.clear()
+        return self
+
+    def set_use_memory_efficient_attention_xformers(self, valid: bool,
+                                                    attention_op=None):
+        """Reference toggle (modeling_utils.py:276-329).  On TPU the XLA
+        attention is already memory-efficient at these sequence lengths; this
+        maps to the Pallas attention kernel env switch."""
+        import os
+
+        os.environ["MUSE_TPU_PALLAS_ATTN"] = "1" if valid else "0"
+        self._jit_cache.clear()
+        return self
+
     # -- parameters ---------------------------------------------------------
 
     def num_parameters(self) -> int:
