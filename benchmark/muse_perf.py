@@ -95,6 +95,8 @@ def main(argv=None):
     parser.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8])
     parser.add_argument("--timesteps", type=int, nargs="+", default=[12, 20])
     parser.add_argument("--iters", type=int, default=6)
+    parser.add_argument("--fresh", action="store_true",
+                        help="overwrite the CSV instead of appending")
     args = parser.parse_args(argv)
 
     import jax
@@ -102,26 +104,35 @@ def main(argv=None):
 
     device = jax.devices()[0].device_kind
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    rows = []
+    # incremental CSV: remote-compile services can drop mid-sweep; every
+    # finished case is persisted immediately
+    write_header = not os.path.isfile(args.out) or args.fresh
+    mode = "w" if write_header else "a"
+    f = open(args.out, mode, newline="")
+    writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
+    if write_header:
+        writer.writeheader()
     for resolution in args.resolutions:
         transformer, text_encoder, vae, seq_len = build(resolution, jnp.bfloat16)
         for batch_size in args.batch_sizes:
             for steps in args.timesteps:
-                ms, imgs = run_case(transformer, text_encoder, vae, seq_len,
-                                    batch_size, steps, iters=args.iters)
+                try:
+                    ms, imgs = run_case(transformer, text_encoder, vae, seq_len,
+                                        batch_size, steps, iters=args.iters)
+                except Exception as e:  # keep sweeping past transient failures
+                    print(f"case res={resolution} bs={batch_size} steps={steps} "
+                          f"failed: {e}")
+                    continue
                 row = {"model": "muse_tpu", "resolution": resolution,
                        "batch_size": batch_size, "timesteps": steps,
                        "use_xformers": "n/a", "use_fused_residual_norm": "xla-fused",
                        "device": device, "median_ms": round(ms, 1),
                        "imgs_per_sec": round(imgs, 2), "peak_mem_gb": ""}
-                rows.append(row)
+                writer.writerow(row)
+                f.flush()
                 print(row)
         del transformer, text_encoder, vae
-
-    with open(args.out, "w", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
-        writer.writeheader()
-        writer.writerows(rows)
+    f.close()
     print(f"wrote {args.out}")
 
 
