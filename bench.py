@@ -78,8 +78,10 @@ def main():
         return fused(input_ids, micro_conds, step_key)
 
     # warmup / compile (force real completion through a dependent scalar:
-    # block_until_ready can return early through the device tunnel)
-    for i in range(WARMUP):
+    # block_until_ready can return early through the device tunnel).  The
+    # first executions after compile are consistently slower (device/HBM
+    # warm-up), so run several forced warm calls before timing.
+    for i in range(WARMUP + 4):
         float(jnp.sum(pipeline_call(jax.random.fold_in(key, i))))
 
     # accumulate-then-force timing: dispatch all calls, make each output feed
