@@ -27,6 +27,16 @@ __all__ = [
 ]
 
 
+def _use_pallas_norm() -> bool:
+    """Route norms through the one-pass Pallas kernel (inference only: the
+    kernel has no VJP).  Profiling showed XLA's norm fusions run at ~5% of
+    HBM bandwidth inside the decode scan — 44% of step time."""
+    import os
+
+    return (os.environ.get("MUSE_TPU_PALLAS_NORM", "0") == "1"
+            and jax.default_backend() == "tpu")
+
+
 class RMSNorm(nn.Module):
     """RMSNorm with optional fused residual-add prenorm semantics.
 
@@ -42,14 +52,24 @@ class RMSNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, residual=None, return_residual: bool = False):
+        if self.elementwise_affine:
+            scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        else:
+            scale = jnp.ones((self.dim,), dtype=jnp.float32)
+        if _use_pallas_norm() and x.shape[-1] % 128 == 0:
+            from .pallas.fused_norm import fused_residual_rmsnorm
+
+            out, prenorm_residual = fused_residual_rmsnorm(x, residual, scale,
+                                                           eps=self.eps)
+            if residual is not None or return_residual:
+                return out, prenorm_residual
+            return out
         if residual is not None:
             x = x + residual
         prenorm_residual = x
         var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
         out = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
-        if self.elementwise_affine:
-            scale = self.param("scale", nn.initializers.ones, (self.dim,))
-            out = out * scale.astype(out.dtype)
+        out = out * scale.astype(out.dtype)
         if residual is not None or return_residual:
             return out, prenorm_residual
         return out
