@@ -102,5 +102,33 @@ def main():
     }))
 
 
+def main_with_retries(attempts: int = 3, timeout_s: int = 480):
+    """The remote compile service occasionally wedges (see STATUS.md); a hung
+    XLA call can't be interrupted in-process, so run the measurement in fresh
+    subprocesses and retry."""
+    import subprocess
+    import sys
+
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run([sys.executable, __file__, "--inner"],
+                                  capture_output=True, text=True,
+                                  timeout=timeout_s)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+            sys.stderr.write(proc.stderr[-2000:])
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt + 1} timed out "
+                             f"(compile service wedged?); retrying\n")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--inner" in sys.argv:
+        main()
+    else:
+        raise SystemExit(main_with_retries())
