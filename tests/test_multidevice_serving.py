@@ -1,0 +1,73 @@
+"""Multi-device serving: the fused text2image program sharded over a dp mesh,
+and pipeline class dispatch for every VQ family."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from open_muse_tpu.models.clip_text import CLIPTextEncoder, SimpleTokenizer
+from open_muse_tpu.models.maskgit_vqgan import MaskGitVQGAN
+from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+from open_muse_tpu.pipelines.pipeline_muse import PipelineMuse
+
+CLIP_TINY = dict(vocab_size=100, hidden_size=32, intermediate_size=64,
+                 num_hidden_layers=2, num_attention_heads=4,
+                 max_position_embeddings=16, projection_dim=24)
+VAE_TINY = dict(resolution=32, hidden_channels=32, channel_mult=(1, 2),
+                num_res_blocks=1, z_channels=16, num_embeddings=64,
+                quantized_embed_dim=16)
+UVIT_TINY = dict(hidden_size=64, cond_embed_dim=24, micro_cond_encode_dim=8,
+                 micro_cond_embed_dim=40, encoder_hidden_size=32, vocab_size=68,
+                 codebook_size=64, in_channels=32, block_out_channels=(32,),
+                 num_res_blocks=1, block_num_heads=2, num_hidden_layers=2,
+                 num_attention_heads=4, intermediate_size=96)
+
+
+def test_fused_pipeline_dp_sharded_batch():
+    """Serving at scale: batch dp-sharded over all devices, params replicated,
+    one fused program — GSPMD inserts everything else."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from open_muse_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(dp=8, fsdp=1, tp=1)
+    pipe = PipelineMuse(vae=MaskGitVQGAN(**VAE_TINY),
+                        transformer=MaskGiTUViT_v2(**UVIT_TINY),
+                        text_encoder=CLIPTextEncoder(**CLIP_TINY),
+                        tokenizer=SimpleTokenizer(100, 16))
+    batch = 16
+    fused = pipe.compile_text2image(batch_size=batch, timesteps=3,
+                                    guidance_scale=2.0, seq_len=256)
+    ids = jnp.asarray(SimpleTokenizer(100, 16)(["x"] * batch)["input_ids"])
+    micro = jnp.asarray([[512, 512, 0, 0, 6.0]] * batch, dtype=jnp.float32)
+    ids = jax.device_put(ids, NamedSharding(mesh, P("dp")))
+    micro = jax.device_put(micro, NamedSharding(mesh, P("dp")))
+    images = fused(ids, micro, jax.random.PRNGKey(0))
+    assert images.shape == (batch, 32, 32, 3)
+    assert np.isfinite(np.asarray(images)).all()
+
+
+@pytest.mark.parametrize("vq_name,vq_kwargs", [
+    ("maskgit_vqgan", VAE_TINY),
+    ("vqgan", dict(VAE_TINY, num_res_blocks=2, attn_resolutions=(16,))),
+    ("movq", dict(resolution=32, hidden_channels=32, channel_mult=(1, 2),
+                  num_res_blocks=2, attn_resolutions=(16,), z_channels=4,
+                  num_embeddings=64, quantized_embed_dim=4)),
+    ("paella_vq", dict(levels=2, bottleneck_blocks=1, c_hidden=64, c_latent=4,
+                       codebook_size=64)),
+])
+def test_pipeline_vae_dispatch_roundtrip(tmp_path, vq_name, vq_kwargs):
+    """save_pretrained + from_pretrained must dispatch the right VQ class for
+    every tokenizer family (reference pipeline_muse.py:327-339)."""
+    from open_muse_tpu.training.train_muse import get_vq_model_class
+
+    vq = get_vq_model_class(vq_name)(**vq_kwargs)
+    pipe = PipelineMuse(vae=vq, transformer=MaskGiTUViT_v2(**UVIT_TINY),
+                        text_encoder=CLIPTextEncoder(**CLIP_TINY),
+                        tokenizer=SimpleTokenizer(100, 16))
+    pipe.save_pretrained(str(tmp_path))
+    loaded = PipelineMuse.from_pretrained(str(tmp_path))
+    assert type(loaded.vae) is type(vq)
+    assert loaded.vae.config == vq.config
