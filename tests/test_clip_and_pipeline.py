@@ -150,6 +150,33 @@ def test_pipeline_inpainting(tiny_pipeline):
     assert images[0].size == (32, 32)
 
 
+def test_pipeline_negative_prompts(tiny_pipeline):
+    """negative prompts route into CFG as the uncond branch
+    (reference pipeline_muse.py:136-161, generate2 negative_embeds)."""
+    images = tiny_pipeline("a dog", negative_text="blurry, low quality",
+                           timesteps=2, guidance_scale=3.0,
+                           transformer_seq_len=256, key=jax.random.PRNGKey(5))
+    assert images[0].size == (32, 32)
+    # explicit negative embeds instead of text
+    rs = np.random.RandomState(9)
+    images = tiny_pipeline(
+        "a dog", negative_text=None,
+        negative_prompt_embeds=rs.randn(1, 16, 32).astype(np.float32),
+        negative_pooled_embeds=rs.randn(1, 24).astype(np.float32),
+        timesteps=2, guidance_scale=3.0, transformer_seq_len=256,
+        key=jax.random.PRNGKey(6))
+    assert images[0].size == (32, 32)
+
+
+def test_pipeline_return_intermediate(tiny_pipeline):
+    images, intermediate = tiny_pipeline(
+        "a cat", timesteps=3, guidance_scale=2.0, transformer_seq_len=256,
+        return_intermediate=True, key=jax.random.PRNGKey(7))
+    assert len(images) == 1
+    assert len(intermediate) == 3
+    assert intermediate[0][0].size == (32, 32)
+
+
 def test_pipeline_compile_text2image_fused(tiny_pipeline):
     """The fused one-program pipeline matches the staged pipeline's contract:
     tokenized text in, decoded images out."""
