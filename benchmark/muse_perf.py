@@ -84,7 +84,15 @@ def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
     float(acc)
     total = (time.perf_counter() - t0) * 1000
     median_ms = total / iters
-    return median_ms, batch_size / (median_ms / 1000)
+    # peak device memory (reference measure_max_memory_allocated,
+    # benchmark/muse_perf.py:533-542)
+    peak_gb = ""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak_gb = round(stats.get("peak_bytes_in_use", 0) / 1e9, 2)
+    except Exception:
+        pass
+    return median_ms, batch_size / (median_ms / 1000), peak_gb
 
 
 def main(argv=None):
@@ -117,8 +125,9 @@ def main(argv=None):
         for batch_size in args.batch_sizes:
             for steps in args.timesteps:
                 try:
-                    ms, imgs = run_case(transformer, text_encoder, vae, seq_len,
-                                        batch_size, steps, iters=args.iters)
+                    ms, imgs, peak_gb = run_case(transformer, text_encoder, vae,
+                                                 seq_len, batch_size, steps,
+                                                 iters=args.iters)
                 except Exception as e:  # keep sweeping past transient failures
                     print(f"case res={resolution} bs={batch_size} steps={steps} "
                           f"failed: {e}")
@@ -127,7 +136,7 @@ def main(argv=None):
                        "batch_size": batch_size, "timesteps": steps,
                        "use_xformers": "n/a", "use_fused_residual_norm": "xla-fused",
                        "device": device, "median_ms": round(ms, 1),
-                       "imgs_per_sec": round(imgs, 2), "peak_mem_gb": ""}
+                       "imgs_per_sec": round(imgs, 2), "peak_mem_gb": peak_gb}
                 writer.writerow(row)
                 f.flush()
                 print(row)
