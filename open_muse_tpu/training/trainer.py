@@ -250,15 +250,20 @@ def make_maskgit_train_step(
     prepended; labels get -100 for the class position."""
 
     def loss_fn(params, batch, key):
+        mask_key, dropout_key = jax.random.split(key)
         input_ids, labels, _, mask_prob = mask_or_random_replace_tokens(
-            key, batch["image_tokens"], mask_id, mask_schedule,
+            mask_key, batch["image_tokens"], mask_id, mask_schedule,
             min_masking_rate=min_masking_rate, codebook_size=codebook_size)
         class_tok = batch["class_ids"][:, None] + codebook_size
         input_ids = jnp.concatenate([class_tok, input_ids], axis=1)
         labels = jnp.concatenate(
             [jnp.full_like(class_tok, -100), labels], axis=1)
+        # deterministic=False activates the v1 model's dropout layers
+        # (reference trains with hidden/attention dropout 0.1)
         logits, loss = module.apply({"params": params}, input_ids, None, None,
-                                    labels, label_smoothing)
+                                    labels, label_smoothing,
+                                    deterministic=False,
+                                    rngs={"dropout": dropout_key})
         return loss, mask_prob
 
     @partial(jax.jit, donate_argnums=(0,))
