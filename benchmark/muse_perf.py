@@ -110,6 +110,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
     device = jax.devices()[0].device_kind
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     # incremental CSV: remote-compile services can drop mid-sweep; every

@@ -334,8 +334,12 @@ class MaskGitTransformer(ModelMixin):
         if class_ids is not None:
             batch_size = class_ids.shape[0]
             class_ids = class_ids + cfg.codebook_size  # shift by codebook size
-        else:
+        elif encoder_hidden_states is not None:
             batch_size = encoder_hidden_states.shape[0]
+        elif input_ids is not None:
+            batch_size = input_ids.shape[0]
+        else:
+            raise ValueError("provide class_ids, encoder_hidden_states or input_ids")
         if input_ids is None:
             input_ids = jnp.full((batch_size, seq_len), cfg.mask_token_id, dtype=jnp.int32)
 
