@@ -119,7 +119,10 @@ class ConvEmbed(nn.Module):
                     dtype=self.dtype)(x)
         b, h, w, _ = x.shape
         x = x.reshape(batch, h * w, cfg.hidden_size)
-        positions = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+        # reference quirk: the v1 constructor never forwards
+        # max_position_embeddings to ConvEmbed, so its position table is
+        # always the class default 256 (modeling_transformer.py:995,1133-1141)
+        positions = nn.Embed(256, cfg.hidden_size,
                              name="position_embeddings", dtype=self.dtype)(
             jnp.arange(x.shape[1])[None, :])
         return x + positions
@@ -165,8 +168,12 @@ class ConvMlmLayer(nn.Module):
             b, h, w, _ = x.shape
             x = x.reshape(b, h, w, emb_size, p, p)
             x = x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * p, w * p, emb_size)
-        x = Norm(emb_size, cfg.norm_type, eps=cfg.layer_norm_eps,
-                 use_bias=cfg.use_bias, name="layer_norm", dtype=self.dtype)(x)
+        # torch wraps this norm in Norm2D (child named 'norm',
+        # modeling_transformer.py:1061-1067)
+        from .uvit_blocks import Norm2D
+
+        x = Norm2D(emb_size, cfg.norm_type, eps=cfg.layer_norm_eps,
+                   use_bias=cfg.use_bias, name="layer_norm", dtype=self.dtype)(x)
         logits = nn.Conv(cfg.output_size, (1, 1), use_bias=cfg.use_bias, name="conv2",
                          dtype=self.dtype)(x)
         return logits.reshape(batch, -1, cfg.output_size)
