@@ -1,0 +1,71 @@
+"""Export interop: flax -> torch-layout checkpoint -> reload, plus the v2
+layernorm norm_type variant parity."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+
+TINY = dict(
+    hidden_size=64, cond_embed_dim=24, micro_cond_encode_dim=8,
+    micro_cond_embed_dim=40, encoder_hidden_size=32, vocab_size=68,
+    codebook_size=64, in_channels=32, block_out_channels=(32,),
+    num_res_blocks=1, block_num_heads=2, num_hidden_layers=2,
+    num_attention_heads=4, intermediate_size=96,
+)
+
+
+def _inputs(rs, batch=2, seq=16):
+    return (jnp.asarray(rs.randint(0, 68, (batch, seq))),
+            jnp.asarray(rs.randn(batch, 7, 32).astype(np.float32)),
+            jnp.asarray(rs.randn(batch, 24).astype(np.float32)),
+            jnp.asarray([[512, 512, 0, 0, 6.0]] * batch, dtype=jnp.float32))
+
+
+def test_v2_torch_export_roundtrip(tmp_path):
+    """save flax -> export torch layout -> reload through the torch-ingest
+    converter: logits must match exactly."""
+    from scripts.convert_checkpoint import main as convert_main
+
+    model = MaskGiTUViT_v2(**TINY)
+    src = str(tmp_path / "flax")
+    model.save_pretrained(src)
+    torch_dir = str(tmp_path / "torch")
+    convert_main(["--input", src, "--output", torch_dir, "--to-torch"])
+    reloaded = MaskGiTUViT_v2.from_pretrained(torch_dir)
+
+    rs = np.random.RandomState(0)
+    args = _inputs(rs)
+    np.testing.assert_allclose(np.asarray(model(*args)),
+                               np.asarray(reloaded(*args)), atol=1e-5)
+
+
+def test_v2_layernorm_variant_torch_parity():
+    torch = pytest.importorskip("torch")
+    from tests.conftest import has_reference, import_reference_muse
+
+    if not has_reference():
+        pytest.skip("reference unavailable")
+    import_reference_muse()
+    from muse import MaskGiTUViT
+
+    cfg = dict(TINY, norm_type="layernorm", use_bias=True)
+    torch.manual_seed(0)
+    ref = MaskGiTUViT(**{k: (list(v) if isinstance(v, tuple) else v)
+                         for k, v in cfg.items()})
+    ref.eval()
+    model = MaskGiTUViT_v2(config=dict(cfg), _defer_init=True)
+    missing, unexpected = model.load_torch_weights(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    assert not missing and not unexpected
+
+    rs = np.random.RandomState(1)
+    ids, ehs, cond, micro = _inputs(rs)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(np.asarray(ids)),
+                         encoder_hidden_states=torch.from_numpy(np.asarray(ehs)),
+                         cond_embeds=torch.from_numpy(np.asarray(cond)),
+                         micro_conds=torch.from_numpy(np.asarray(micro))).numpy()
+    logits = np.asarray(model(ids, ehs, cond, micro))
+    np.testing.assert_allclose(logits, ref_logits, atol=5e-4, rtol=1e-3)
