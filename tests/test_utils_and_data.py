@@ -173,6 +173,34 @@ def test_webdataset_select_filters():
     assert not sel({})
 
 
+def test_shard_source_per_host_split(tmp_path):
+    urls = [f"s{i}.tar" for i in range(8)]
+    a = D.ShardSource(urls, resample=False, shuffle=False, process_index=0,
+                      process_count=2)
+    b = D.ShardSource(urls, resample=False, shuffle=False, process_index=1,
+                      process_count=2)
+    sa, sb = set(a.urls), set(b.urls)
+    assert sa | sb == set(urls) and not (sa & sb)
+    # resample-with-replacement never terminates by itself
+    import itertools
+
+    r = D.ShardSource(urls, resample=True, seed=0)
+    assert len(list(itertools.islice(iter(r), 20))) == 20
+
+
+def test_classification_dataset_class_to_text(tmp_path):
+    _make_shard(str(tmp_path / "c.tar"), 6, with_class=True)
+    mapping = tmp_path / "map.json"
+    mapping.write_text(json.dumps({"0": "tench", "1": "goldfish", "2": "shark"}))
+    ds = D.ClassificationDataset(str(tmp_path / "c.tar"), batch_size=3,
+                                 resolution=32, shuffle_buffer_size=4,
+                                 num_batches_per_epoch=1, seed=2,
+                                 imagenet_class_mapping_path=str(mapping))
+    batch = next(iter(ds))
+    assert len(batch["input_text"]) == 3
+    assert set(batch["input_text"]) <= {"tench", "goldfish", "shark"}
+
+
 def test_classification_dataset(tmp_path):
     _make_shard(str(tmp_path / "cls-000.tar"), 8, with_class=True)
     ds = D.ClassificationDataset(str(tmp_path / "cls-000.tar"), batch_size=4,
