@@ -51,6 +51,7 @@ class ShardWriterPool:
         self.max_open = max_open
         self.queues = {}
         self.threads = {}
+        self.closed = set()
         self.errors = []
         self.lock = threading.Lock()
 
@@ -82,6 +83,12 @@ class ShardWriterPool:
     def submit(self, shard_name: str, members: dict):
         with self.lock:
             if shard_name not in self.queues:
+                if shard_name in self.closed:
+                    # reopening would truncate the tar: shards must be
+                    # written contiguously (the encode loop guarantees this)
+                    raise RuntimeError(
+                        f"shard {shard_name} was already finalized; raise "
+                        f"max_open or write shards contiguously")
                 if len(self.queues) >= self.max_open:
                     # close the oldest writer
                     oldest = next(iter(self.queues))
@@ -98,6 +105,7 @@ class ShardWriterPool:
     def _close(self, shard_name: str):
         q = self.queues.pop(shard_name)
         t = self.threads.pop(shard_name)
+        self.closed.add(shard_name)
         q.put(None)
         t.join()
 

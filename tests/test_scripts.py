@@ -72,6 +72,25 @@ def test_pre_encode_roundtrip(tmp_path):
     assert batches[0][key].shape == (2, 256)  # 16x16 tokens
 
 
+def test_shard_writer_pool_eviction(tmp_path):
+    """Many shards with few open writers: eviction finalizes tars cleanly and
+    reopening a finalized shard errors instead of truncating it."""
+    import tarfile
+
+    from scripts.pre_encode import ShardWriterPool
+
+    pool = ShardWriterPool(str(tmp_path / "{shard}"), max_open=2)
+    for s in range(6):
+        for i in range(10):
+            pool.submit(f"shard-{s:02d}.tar", {f"{i:05d}.txt": f"s{s}i{i}".encode()})
+    with pytest.raises(RuntimeError):
+        pool.submit("shard-00.tar", {"x.txt": b"late"})
+    pool.close()
+    for s in range(6):
+        with tarfile.open(str(tmp_path / f"shard-{s:02d}.tar")) as tf:
+            assert len(tf.getnames()) == 10
+
+
 def test_convert_checkpoint_roundtrip(tmp_path):
     from scripts.convert_checkpoint import main, to_torch_state_dict
     from open_muse_tpu.models.maskgit_vqgan import MaskGitVQGAN
