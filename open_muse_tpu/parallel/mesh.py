@@ -20,7 +20,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["create_mesh", "MeshAxes", "initialize_distributed", "local_batch_slice"]
+__all__ = ["create_mesh", "MeshAxes", "initialize_distributed",
+           "local_batch_slice", "batch_sharding", "replicated", "put_batch"]
 
 MeshAxes = ("dp", "fsdp", "tp")
 
@@ -60,6 +61,35 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host-local batch dict onto the mesh with the batch dim sharded
+    over ('dp','fsdp').  Leading-dim-1 entries (e.g. empty_embeds broadcast
+    tensors) and scalars replicate.
+
+    Single-host: plain jax.device_put.  Multi-host: each host contributes its
+    local slice of the global batch (accelerate split_batches semantics —
+    the caller loads global_batch/process_count samples per host, see
+    local_batch_slice) and jax.make_array_from_process_local_data assembles
+    the global sharded array.
+    """
+    import numpy as np  # noqa: F811 (shadow ok)
+
+    batch_sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    multihost = jax.process_count() > 1
+
+    def place(v):
+        if isinstance(v, (list, tuple)) and v and isinstance(v[0], str):
+            return v  # raw text rides along for host-side use
+        arr = np.asarray(v)
+        sh = rep if arr.ndim == 0 or arr.shape[0] == 1 else batch_sh
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, arr)
+        return jax.device_put(arr, sh)
+
+    return {k: place(v) for k, v in batch.items()}
 
 
 def local_batch_slice(global_batch: int, process_index: Optional[int] = None,

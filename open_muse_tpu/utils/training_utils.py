@@ -108,6 +108,24 @@ def cross_entropy_per_percent_masked_bucket(logits, labels, input_ids, mask_id,
     return average_by_buckets(per_image, buckets)
 
 
+def token_prob_deciles_per_percent_masked_bucket(logits, input_ids, mask_id):
+    """Jit-friendly summary of the reference's per-bucket token-probability
+    histograms (train_muse.py:1355-1379): deciles (11 quantiles) of the
+    model's max-token probability at masked positions, per masked-% bucket.
+    Returns (TOTAL_BUCKETS, 11); buckets with no masked tokens are NaN."""
+    probs = jax.nn.softmax(jnp.asarray(logits, dtype=jnp.float32), axis=-1)
+    p_max = jnp.max(probs, axis=-1)                       # (B, S)
+    masked = input_ids == mask_id
+    buckets = input_ids_to_masked_buckets(input_ids, mask_id)  # (B,)
+    qs = jnp.linspace(0.0, 1.0, 11)
+    rows = []
+    for b in range(TOTAL_BUCKETS):
+        in_bucket = (buckets == b)[:, None] & masked
+        vals = jnp.where(in_bucket, p_max, jnp.nan)
+        rows.append(jnp.nanquantile(vals, qs))
+    return jnp.stack(rows)
+
+
 def token_probability_distributions_per_percent_masked_bucket(logits, input_ids,
                                                               mask_id):
     """Sampled per-bucket probability distributions as a pandas DataFrame

@@ -79,11 +79,14 @@ def test_train_muse_cli(tmp_path):
                         "block_num_heads": 2, "num_hidden_layers": 2,
                         "num_attention_heads": 4, "intermediate_size": 96},
     }
+    # global batch sharded over the 8-device ('dp','fsdp') mesh axes
+    cfg["training"]["batch_size"] = 8
     cfg["training"]["cond_dropout_prob"] = 0.1
     cfg["dataset"]["params"]["eval_shards_path_or_url"] = shard
     cfg["experiment"]["eval_every"] = 4
     cfg["experiment"]["max_eval_batches"] = 1
     cfg["experiment"]["log_entropy_buckets"] = True
+    cfg["experiment"]["log_grad_norm_every"] = 2
     # inpainting validation: one prompt dir with image + mask
     from PIL import Image
 
@@ -100,6 +103,11 @@ def test_train_muse_cli(tmp_path):
     logged = [json.loads(line) for line in open(os.path.join(out, "metrics.jsonl"))]
     assert any("eval_loss" in m for m in logged)
     assert any("pixel_entropy_by_bucket" in m for m in logged)
+    assert any("token_prob_deciles_by_bucket" in m for m in logged)
+    # per-parameter grad norms on the log_grad_norm_every cadence
+    # (reference train_muse.py:1309-1314)
+    assert any(any(k.startswith("grad_norm/") for k in m) for m in logged)
+    assert all(np.isfinite(m["loss"]) for m in logged if "loss" in m)
     assert os.path.isfile(os.path.join(out, "inpainting-4.png"))
     assert os.path.isdir(os.path.join(out, "checkpoint-4", "unwrapped_model"))
     assert os.path.isfile(os.path.join(out, "samples-4.png"))
@@ -152,3 +160,59 @@ def test_train_vqgan_cli(tmp_path):
     lines = open(os.path.join(out, "metrics.jsonl")).read().splitlines()
     assert len(lines) >= 2
     assert "l2" in json.loads(lines[0])
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _make_preencoded_shard(path, n, seq=16, text_dim=32, text_len=7):
+    """Shard in the native pre-encoded dialect written by scripts/pre_encode.py
+    (vq_f16.npy tokens + clip_penultimate/clip_pooled.npy embeds)."""
+    with tarfile.open(path, "w") as tf:
+        rs = np.random.RandomState(0)
+        for i in range(n):
+            key = f"{i:05d}"
+            items = [
+                ("vq_f16.npy", _npy_bytes(rs.randint(0, 64, (seq,)).astype(np.int32))),
+                ("clip_penultimate.npy",
+                 _npy_bytes(rs.randn(text_len, text_dim).astype(np.float16))),
+                ("clip_pooled.npy", _npy_bytes(rs.randn(24).astype(np.float16))),
+            ]
+            for ext, data in items:
+                info = tarfile.TarInfo(f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+
+def test_train_muse_cli_pre_encode(tmp_path):
+    """pre_encode: true end-to-end (ADVICE round 1: this branch raised
+    KeyError on the first batch because collated member names were never
+    remapped to the trainer's expected keys)."""
+    from open_muse_tpu.training.train_muse import main
+
+    shard = str(tmp_path / "enc-000.tar")
+    _make_preencoded_shard(shard, 8)
+    cfg = json.loads(json.dumps(BASE))
+    cfg["experiment"]["output_dir"] = str(tmp_path / "out")
+    cfg["dataset"]["params"]["train_shards_path_or_url"] = shard
+    cfg["training"]["batch_size"] = 8
+    cfg["training"]["pre_encode"] = True
+    cfg["model"] = {
+        "transformer": {"hidden_size": 64, "cond_embed_dim": 24,
+                        "micro_cond_encode_dim": 8, "micro_cond_embed_dim": 40,
+                        "encoder_hidden_size": 32, "vocab_size": 68,
+                        "codebook_size": 64, "in_channels": 32,
+                        "block_out_channels": [32], "num_res_blocks": 1,
+                        "block_num_heads": 2, "num_hidden_layers": 2,
+                        "num_attention_heads": 4, "intermediate_size": 96},
+    }
+    state = main([f"config={_write_cfg(tmp_path, cfg)}"])
+    import jax
+
+    assert int(jax.device_get(state.step)) == 4
+    out = cfg["experiment"]["output_dir"]
+    logged = [json.loads(line) for line in open(os.path.join(out, "metrics.jsonl"))]
+    assert all(np.isfinite(m["loss"]) for m in logged if "loss" in m)

@@ -214,3 +214,66 @@ def test_checkpoint_save_resume(tmp_path):
 
 
 import os  # noqa: E402
+
+
+def test_put_batch_shards_over_dp_fsdp():
+    """put_batch shards the batch dim over ('dp','fsdp') and replicates
+    broadcast (leading-dim-1) tensors; values round-trip exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from open_muse_tpu.parallel.mesh import create_mesh, put_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(dp=4, fsdp=2, tp=1)
+    rs = np.random.RandomState(0)
+    batch = {
+        "image_tokens": rs.randint(0, 64, (8, 16)).astype(np.int32),
+        "empty_embeds": rs.randn(1, 7, 32).astype(np.float32),
+        "texts": ["a", "b"],
+    }
+    placed = put_batch(batch, mesh)
+    assert placed["image_tokens"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P(("dp", "fsdp"))), 2)
+    assert placed["empty_embeds"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P()), 3)
+    assert placed["texts"] == ["a", "b"]
+    np.testing.assert_array_equal(np.asarray(placed["image_tokens"]),
+                                  batch["image_tokens"])
+
+
+def test_opt_state_sharding_matches_param_path():
+    """Adam moments must get THEIR param's sharding even when another
+    equal-shaped param has a different spec (VERDICT weak #3: shape-keyed
+    matching collided query.kernel P('fsdp','tp') with out.kernel
+    P('tp','fsdp'))."""
+    from jax.sharding import PartitionSpec as P
+
+    from open_muse_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(dp=2, fsdp=2, tp=2)
+    # two equal-shaped kernels whose rules give DIFFERENT specs
+    params = {
+        "attention": {"query": {"kernel": jnp.ones((8, 8))},
+                      "out": {"kernel": jnp.ones((8, 8))}},
+    }
+    tx = get_optimizer("adamw", 1e-3)
+    state = T.create_train_state(params, tx, mesh=mesh)
+
+    def spec_of(tree, *path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return node.sharding.spec
+
+    assert spec_of(state.params, "attention", "query", "kernel") == P("fsdp", "tp")
+    assert spec_of(state.params, "attention", "out", "kernel") == P("tp", "fsdp")
+    # find the Adam mu subtree inside the optax state and check both moments
+    mus = [s.mu for s in jax.tree_util.tree_leaves(
+        state.opt_state, is_leaf=lambda x: hasattr(x, "mu")) if hasattr(s, "mu")]
+    assert mus, "no ScaleByAdamState found in opt_state"
+    mu = mus[0]
+    assert spec_of(mu, "attention", "query", "kernel") == P("fsdp", "tp")
+    assert spec_of(mu, "attention", "out", "kernel") == P("tp", "fsdp")
