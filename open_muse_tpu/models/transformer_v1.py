@@ -365,7 +365,10 @@ class MaskGitTransformer(ModelMixin):
             # (start, end) pairs anneal linearly (v2-style convenience)
             temperatures = jnp.linspace(temperature[0], temperature[1], timesteps)
         else:
-            temperatures = temperature * (1.0 - ratios)
+            # the reference REBINDS temperature *= (1 - ratio) inside the
+            # loop (modeling_transformer.py:1451), so the anneal compounds
+            # multiplicatively across steps
+            temperatures = temperature * jnp.cumprod(1.0 - ratios)
 
         cache_key = ("generate2", timesteps, float(guidance_scale),
                      class_ids is not None, use_cfg, condition is not None,

@@ -405,6 +405,9 @@ def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
         key, sample_key, mask_key = jax.random.split(key, 3)
         probs = jax.nn.softmax(logits, axis=-1)
         sampled_ids = jax.random.categorical(sample_key, logits, axis=-1)
+        # intermediate frames record the RAW samples, before already-known
+        # tokens are restored (reference modeling_transformer_v2.py:447-450)
+        raw_sampled_ids = sampled_ids
         unknown_map = ids == cfg.mask_token_id
         sampled_ids = jnp.where(unknown_map, sampled_ids, ids)
 
@@ -417,7 +420,7 @@ def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
         masking = sampling.mask_by_random_topk(mask_key, mask_len, selected,
                                                temperatures[step_idx])
         new_ids = jnp.where(masking, cfg.mask_token_id, sampled_ids)
-        out = sampled_ids if return_intermediate else None
+        out = raw_sampled_ids if return_intermediate else None
         return (new_ids.astype(jnp.int32), key), (out, sampled_ids)
 
     (_, _), (intermediate, all_sampled) = jax.lax.scan(

@@ -90,7 +90,17 @@ def test_generate2_cfg_and_intermediate():
         timesteps=4, guidance_scale=2.0, seq_len=16, return_intermediate=True,
         key=jax.random.PRNGKey(0))
     assert np.asarray(inter).shape == (4, 2, 16)
-    np.testing.assert_array_equal(np.asarray(final), np.asarray(inter)[-1])
+    # intermediate frames are the RAW per-step samples, recorded before
+    # already-known tokens are restored (reference
+    # modeling_transformer_v2.py:447-450) — so inter[-1] need not equal
+    # final at positions fixed in earlier steps.  With a single step every
+    # position is still masked, so raw == final exactly:
+    final1, inter1 = model.generate2(
+        jnp.asarray(ehs), jnp.asarray(cond), jnp.asarray(micro),
+        empty_embeds=jnp.asarray(empty), empty_cond_embeds=jnp.asarray(empty_cond),
+        timesteps=1, guidance_scale=2.0, seq_len=16, return_intermediate=True,
+        key=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(final1), np.asarray(inter1)[-1])
 
 
 def test_generate2_guidance_schedules():
