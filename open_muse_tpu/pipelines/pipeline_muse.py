@@ -328,7 +328,20 @@ class PipelineMuse:
 
                 tokenizer = AutoTokenizer.from_pretrained(text_encoder_path)
             except Exception:
-                tokenizer = None
+                # LOUD fallback (never silent: a hash tokenizer produces
+                # garbage token ids for a real checkpoint's vocab)
+                from ..models.clip_text import SimpleTokenizer
+                from ..utils.logging import get_logger
+
+                get_logger(__name__).warning(
+                    f"no tokenizer files at {text_encoder_path}; falling "
+                    f"back to the hash-based SimpleTokenizer — generated "
+                    f"images will NOT match real-checkpoint quality")
+                te_conf = text_encoder.config
+                tokenizer = SimpleTokenizer(
+                    vocab_size=te_conf.vocab_size,
+                    model_max_length=getattr(te_conf,
+                                             "max_position_embeddings", 77))
 
         if transformer is None:
             from ..core.configuration import load_config_dict
