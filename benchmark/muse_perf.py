@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CSV_FIELDS = ["model", "resolution", "batch_size", "timesteps", "use_xformers",
               "use_fused_residual_norm", "device", "median_ms", "imgs_per_sec",
-              "peak_mem_gb"]
+              "peak_mem_gb", "tflops_per_call", "mfu_pct"]
+
+# TPU v5e (v5 lite) peak bf16 throughput per chip
+PEAK_TFLOPS = {"TPU v5 lite": 197.0}
 
 
 def build(resolution: int, dtype):
@@ -77,6 +80,17 @@ def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
                                    seq_len=seq_len)
 
     float(jnp.sum(call(input_ids, micro, key)))  # compile + force
+
+    # XLA's own FLOP count for the fused program -> analytic MFU
+    flops = None
+    try:
+        lowered = jax.jit(call).lower(input_ids, micro, key)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
     acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for i in range(iters):
@@ -92,7 +106,7 @@ def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
         peak_gb = round(stats.get("peak_bytes_in_use", 0) / 1e9, 2)
     except Exception:
         pass
-    return median_ms, batch_size / (median_ms / 1000), peak_gb
+    return median_ms, batch_size / (median_ms / 1000), peak_gb, flops
 
 
 def main(argv=None):
@@ -128,18 +142,24 @@ def main(argv=None):
         for batch_size in args.batch_sizes:
             for steps in args.timesteps:
                 try:
-                    ms, imgs, peak_gb = run_case(transformer, text_encoder, vae,
-                                                 seq_len, batch_size, steps,
-                                                 iters=args.iters)
+                    ms, imgs, peak_gb, flops = run_case(
+                        transformer, text_encoder, vae, seq_len, batch_size,
+                        steps, iters=args.iters)
                 except Exception as e:  # keep sweeping past transient failures
                     print(f"case res={resolution} bs={batch_size} steps={steps} "
                           f"failed: {e}")
                     continue
+                tflops = round(flops / 1e12, 3) if flops else ""
+                mfu = ""
+                if flops and device in PEAK_TFLOPS:
+                    mfu = round(100 * (flops / 1e12) / (ms / 1e3)
+                                / PEAK_TFLOPS[device], 1)
                 row = {"model": "muse_tpu", "resolution": resolution,
                        "batch_size": batch_size, "timesteps": steps,
                        "use_xformers": "n/a", "use_fused_residual_norm": "xla-fused",
                        "device": device, "median_ms": round(ms, 1),
-                       "imgs_per_sec": round(imgs, 2), "peak_mem_gb": peak_gb}
+                       "imgs_per_sec": round(imgs, 2), "peak_mem_gb": peak_gb,
+                       "tflops_per_call": tflops, "mfu_pct": mfu}
                 writer.writerow(row)
                 f.flush()
                 print(row)

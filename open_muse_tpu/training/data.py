@@ -39,6 +39,10 @@ __all__ = [
     "WebdatasetSelect",
     "person_token_replace",
     "image_transform",
+    "sdxl_synthetic_dataset_map",
+    "ds_clean_map",
+    "ds_clean_upscaled_map",
+    "DATASET_MAPS",
     "Text2ImageDataset",
     "ClassificationDataset",
 ]
@@ -220,6 +224,23 @@ def decode_sample(sample: Dict[str, bytes], pre_encoded: bool = False) -> Dict[s
     return out
 
 
+def get_aesthetic_score(meta: Dict[str, Any]) -> float:
+    """Aesthetic score across the LAION/COYO/stability metadata dialects
+    (reference training/data.py:100-115; default 0.0)."""
+    if "aesthetic" in meta:
+        a = meta["aesthetic"]
+    elif "AESTHETIC_SCORE" in meta:
+        a = meta["AESTHETIC_SCORE"]
+    elif "aesthetic_score_laion_v2" in meta:
+        a = meta["aesthetic_score_laion_v2"]
+    elif "stability_metadata" in meta and \
+            "aes_scorelv2" in meta["stability_metadata"]:
+        a = meta["stability_metadata"]["aes_scorelv2"]
+    else:
+        a = 0.0
+    return float(a)
+
+
 def person_token_replace(text: str, rng: random.Random) -> str:
     """Replace CC12M '<person>' tokens with sampled person words
     (reference training/data.py:42-50)."""
@@ -251,6 +272,82 @@ def image_transform(image, resolution: int = 256, rng: Optional[random.Random] =
     image = image.crop((left, top, left + resolution, top + resolution))
     arr = np.asarray(image, dtype=np.float32) / 255.0
     return arr, orig_size, (top, left)
+
+
+# -- dataset-dialect raw-sample maps ------------------------------------------
+# These operate on RAW samples (ext -> bytes), before decoding, exactly like
+# the reference's wds.map stages.
+
+
+def sdxl_synthetic_dataset_map(sample: Dict[str, bytes]) -> Dict[str, bytes]:
+    """SDXL-synthetic shards carry N candidate images '<key>.<i>.png' plus
+    'clip_scores.txt'; keep only the best-CLIP-score candidate (reference
+    training/data.py:415-446)."""
+    scores = [float(x) for x in
+              sample["clip_scores.txt"].decode("utf-8").split(",")]
+    best = max(range(len(scores)), key=scores.__getitem__)
+    best_key = f"{best}.png"
+    if best_key not in sample:
+        raise ValueError(
+            f"{best_key} not found in sample; expected files <key>.<i>.png "
+            f"matching the clip_scores.txt indices")
+    return {
+        "__key__": sample.get("__key__"),
+        "__url__": sample.get("__url__"),
+        "txt": sample["txt"],
+        "png": sample[best_key],
+        # dataset was generated at 1024px by sdxl; aesthetic 5 approximation
+        # (reference training/data.py:438-445)
+        "json": json.dumps({"aesthetic": 5, "original_width": 1024,
+                            "original_height": 1024}).encode(),
+    }
+
+
+def ds_clean_upscaled_map(sample: Dict[str, bytes]) -> Dict[str, bytes]:
+    """ds_clean upscaled variant: real size read from the image, aesthetic 5
+    (reference training/data.py:449-461)."""
+    from PIL import Image
+
+    with io.BytesIO(sample["png"]) as stream:
+        image = Image.open(stream)
+        image.load()
+    return {
+        "__key__": sample.get("__key__"),
+        "__url__": sample.get("__url__"),
+        "txt": sample["txt"],
+        "png": sample["png"],
+        "json": json.dumps({"aesthetic": 5, "original_width": image.width,
+                            "original_height": image.height}).encode(),
+    }
+
+
+def ds_clean_map(sample: Dict[str, bytes]) -> Dict[str, bytes]:
+    """ds_clean 2x2-grid variant: crop the top-left quadrant (reference
+    training/data.py:464-485)."""
+    from PIL import Image
+
+    with io.BytesIO(sample["png"]) as stream:
+        image = Image.open(stream)
+        image.load()
+    width, height = image.width // 2, image.height // 2
+    image = image.crop((0, 0, width, height))
+    buf = io.BytesIO()
+    image.save(buf, format="PNG")
+    return {
+        "__key__": sample.get("__key__"),
+        "__url__": sample.get("__url__"),
+        "txt": sample["txt"],
+        "png": buf.getvalue(),
+        "json": json.dumps({"aesthetic": 5, "original_width": width,
+                            "original_height": height}).encode(),
+    }
+
+
+DATASET_MAPS = {
+    "sdxl_synthetic": sdxl_synthetic_dataset_map,
+    "ds_clean": ds_clean_map,
+    "ds_clean_upscaled": ds_clean_upscaled_map,
+}
 
 
 # -- quality filter (reference WebdatasetSelect, training/data.py:274-412) ----
@@ -345,9 +442,24 @@ class Text2ImageDataset:
         prefetch_depth: int = 4,
         use_native: bool = True,
         native_threads: int = 4,
+        dataset_map=None,
+        vae_checkpoint: Optional[str] = None,
+        text_encoder_checkpoint: Optional[str] = None,
     ):
         self.shards = ShardSource(train_shards_path_or_url, resample=resample,
                                   seed=seed)
+        # dialect map applied to raw samples (name from DATASET_MAPS or a
+        # callable); sdxl_synthetic also implies the clip_scores.txt select
+        # (reference training/data.py:575-577)
+        if isinstance(dataset_map, str):
+            dataset_map = DATASET_MAPS[dataset_map]
+        self.dataset_map = dataset_map
+        # pre-encoded members keyed by the encoder checkpoints that produced
+        # them (reference training/data.py:561-573)
+        def _norm(name):
+            return name.lower().replace("/", ".") if name else None
+        self.vae_checkpoint = _norm(vae_checkpoint)
+        self.text_encoder_checkpoint = _norm(text_encoder_checkpoint)
         self.batch_size = batch_size
         self.resolution = resolution
         self.shuffle_buffer_size = shuffle_buffer_size
@@ -385,6 +497,18 @@ class Text2ImageDataset:
 
     def _samples(self) -> Iterator[Dict[str, Any]]:
         for raw in self._raw_samples():
+            if self.dataset_map is not None:
+                if self.dataset_map is sdxl_synthetic_dataset_map and \
+                        "clip_scores.txt" not in raw:
+                    continue  # reference wds.select gate (data.py:575-577)
+                try:
+                    raw = self.dataset_map(raw)
+                except Exception as e:  # warn_and_continue semantics
+                    from ..utils.logging import get_logger
+
+                    get_logger(__name__).warning(
+                        f"dataset_map failed on {raw.get('__key__')}: {e}")
+                    continue
             sample = decode_sample(raw, pre_encoded=self.pre_encode)
             if self.require_text and not self.pre_encode and "text" not in sample:
                 continue
@@ -428,8 +552,17 @@ class Text2ImageDataset:
                            if k.endswith("pth") or k.endswith("npy")]
             for k in tensor_keys:
                 out[k] = np.stack([np.asarray(s[k]) for s in batch])
+            # reference dialect: members named after the encoder checkpoint
+            # that produced them -> canonical trainer keys
+            # (training/data.py:561-573 wds.rename)
+            renames = {f"{self.vae_checkpoint}.pth": "image_input_ids",
+                       f"{self.text_encoder_checkpoint}.pth":
+                           "encoder_hidden_states"}
+            for src, dst in renames.items():
+                if src in out:
+                    out[dst] = out.pop(src)
             return out
-        pixels, texts, orig_sizes, crops = [], [], [], []
+        pixels, texts, orig_sizes, crops, aes = [], [], [], [], []
         for s in batch:
             arr, orig, crop = image_transform(s["image"], self.resolution, self.rng,
                                               self.center_crop)
@@ -438,13 +571,20 @@ class Text2ImageDataset:
             if self.text_map is not None:
                 text = self.text_map(text)
             texts.append(person_token_replace(text, self.rng))
+            # micro-cond origin size prefers the metadata (reference
+            # get_orig_size, training/data.py:96-97) over the decoded size
+            meta = s.get("metadata") or {}
+            if "original_width" in meta and "original_height" in meta:
+                orig = (int(meta["original_height"]), int(meta["original_width"]))
             orig_sizes.append(orig)
             crops.append(crop)
+            aes.append(get_aesthetic_score(meta))
         return {
             "pixel_values": np.stack(pixels),
             "input_text": texts,
             "orig_sizes": np.asarray(orig_sizes, dtype=np.float32),
             "crop_coords": np.asarray(crops, dtype=np.float32),
+            "aesthetic_scores": np.asarray(aes, dtype=np.float32),
         }
 
 

@@ -342,10 +342,13 @@ def main(argv=None):
                                         return_tensors="np")["input_ids"])
             hs, _, pooled = text_encoder.encode(ids)
             out["encoder_hidden_states"], out["cond_embeds"] = hs[-2], pooled
+        n = len(out["image_tokens"])
+        aes = batch.get("aesthetic_scores")
         micro = np.concatenate([
-            batch.get("orig_sizes", np.full((len(out["image_tokens"]), 2), 512.0)),
-            batch.get("crop_coords", np.zeros((len(out["image_tokens"]), 2))),
-            np.full((len(out["image_tokens"]), 1), 6.0),
+            batch.get("orig_sizes", np.full((n, 2), 512.0)),
+            batch.get("crop_coords", np.zeros((n, 2))),
+            np.full((n, 1), 6.0) if aes is None
+            else np.asarray(aes, dtype=np.float32).reshape(n, 1),
         ], axis=1)
         out["micro_conds"] = jnp.asarray(micro, dtype=jnp.float32)
         if empty_embeds is not None:
@@ -369,6 +372,9 @@ def main(argv=None):
         resolution=ds_params.get("resolution", 256),
         shuffle_buffer_size=ds_params.get("shuffle_buffer_size", 1000),
         pre_encode=pre_encode, select=select, seed=seed,
+        dataset_map=ds_params.get("dataset_map"),
+        vae_checkpoint=ds_params.get("vae_checkpoint"),
+        text_encoder_checkpoint=ds_params.get("text_encoder_checkpoint"),
         center_crop=config.dataset.get("preprocessing", {}) and
         config.dataset.preprocessing.get("center_crop", False))
 

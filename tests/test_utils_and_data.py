@@ -210,3 +210,129 @@ def test_classification_dataset(tmp_path):
     assert len(batches) == 2
     assert batches[0]["class_ids"].shape == (4,)
     assert set(batches[0]["class_ids"]) <= {0, 1, 2}
+
+
+# -- dataset-dialect maps (reference training/data.py:415-485, 561-573) ------
+
+
+def _png_bytes(arr):
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(arr.astype(np.uint8)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_sdxl_synthetic_dataset_map_picks_best_clip_image():
+    from open_muse_tpu.training.data import sdxl_synthetic_dataset_map
+
+    rs = np.random.RandomState(0)
+    imgs = [_png_bytes(rs.rand(8, 8, 3) * 255) for _ in range(3)]
+    raw = {"__key__": "k", "__url__": "u", "txt": b"a cat",
+           "clip_scores.txt": b"0.21,0.35,0.19",
+           "0.png": imgs[0], "1.png": imgs[1], "2.png": imgs[2]}
+    out = sdxl_synthetic_dataset_map(raw)
+    assert out["png"] == imgs[1]
+    meta = json.loads(out["json"])
+    assert meta == {"aesthetic": 5, "original_width": 1024,
+                    "original_height": 1024}
+    # missing candidate file -> ValueError (reference raises)
+    bad = dict(raw)
+    del bad["1.png"]
+    with pytest.raises(ValueError):
+        sdxl_synthetic_dataset_map(bad)
+
+
+def test_ds_clean_map_crops_top_left_quadrant():
+    from PIL import Image
+
+    from open_muse_tpu.training.data import ds_clean_map, ds_clean_upscaled_map
+
+    grid = np.zeros((16, 20, 3), dtype=np.uint8)
+    grid[:8, :10] = 200  # top-left quadrant marker
+    raw = {"__key__": "k", "__url__": "u", "txt": b"t", "png": _png_bytes(grid)}
+    out = ds_clean_map(raw)
+    img = Image.open(io.BytesIO(out["png"]))
+    assert img.size == (10, 8)
+    assert np.asarray(img).min() == 200  # only the marked quadrant survives
+    meta = json.loads(out["json"])
+    assert (meta["original_width"], meta["original_height"]) == (10, 8)
+
+    out_up = ds_clean_upscaled_map(raw)
+    meta_up = json.loads(out_up["json"])
+    assert (meta_up["original_width"], meta_up["original_height"]) == (20, 16)
+    assert out_up["png"] == raw["png"]
+
+
+def test_dataset_map_in_pipeline_and_select_gate(tmp_path):
+    """sdxl-synthetic shards stream through Text2ImageDataset: best-CLIP
+    candidate selected, samples without clip_scores.txt skipped."""
+    import tarfile
+
+    from open_muse_tpu.training.data import Text2ImageDataset
+
+    rs = np.random.RandomState(1)
+    shard = tmp_path / "sdxl-000.tar"
+    with tarfile.open(shard, "w") as tf:
+        def add(name, data):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+        for i in range(4):
+            key = f"{i:04d}"
+            add(f"{key}.txt", f"prompt {i}".encode())
+            if i != 2:  # sample 2 lacks clip scores -> must be skipped
+                add(f"{key}.clip_scores.txt", b"0.1,0.9")
+            for j in range(2):
+                add(f"{key}.{j}.png", _png_bytes(rs.rand(40, 40, 3) * 255))
+
+    ds = Text2ImageDataset(str(shard), batch_size=3, resolution=32,
+                           shuffle_buffer_size=4, resample=False,
+                           dataset_map="sdxl_synthetic", use_native=False)
+    batch = next(iter(ds))
+    assert batch["pixel_values"].shape == (3, 32, 32, 3)
+    # micro-cond origin sizes come from the synthetic json (1024x1024)
+    np.testing.assert_array_equal(batch["orig_sizes"],
+                                  np.full((3, 2), 1024.0, np.float32))
+
+
+def test_preencoded_checkpoint_named_pth_members(tmp_path):
+    """Reference dialect: .pth members named after the encoder checkpoints
+    rename to image_input_ids / encoder_hidden_states
+    (reference training/data.py:561-573)."""
+    import tarfile
+
+    torch = pytest.importorskip("torch")
+
+    from open_muse_tpu.training.data import Text2ImageDataset
+
+    vae_name = "openMUSE/vqgan-f16-8192-laion"
+    te_name = "openMUSE/clip-vit-large-patch14-text-enc"
+    shard = tmp_path / "enc-000.tar"
+    rs = np.random.RandomState(2)
+    with tarfile.open(shard, "w") as tf:
+        for i in range(4):
+            key = f"{i:04d}"
+            for name, tensor in (
+                    (vae_name.lower().replace("/", "."),
+                     torch.from_numpy(rs.randint(0, 64, (16,)).astype(np.int64))),
+                    (te_name.lower().replace("/", "."),
+                     torch.from_numpy(rs.randn(7, 24).astype(np.float16)))):
+                buf = io.BytesIO()
+                torch.save(tensor, buf)
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{key}.{name}.pth")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    ds = Text2ImageDataset(str(shard), batch_size=4, resolution=32,
+                           shuffle_buffer_size=4, resample=False,
+                           pre_encode=True, use_native=False,
+                           vae_checkpoint=vae_name,
+                           text_encoder_checkpoint=te_name)
+    batch = next(iter(ds))
+    assert batch["image_input_ids"].shape == (4, 16)
+    assert batch["encoder_hidden_states"].shape == (4, 7, 24)
