@@ -162,6 +162,20 @@ class ShardSource:
     def __init__(self, urls, shuffle: bool = True, resample: bool = True,
                  seed: Optional[int] = None, process_index: Optional[int] = None,
                  process_count: Optional[int] = None):
+        # bare dataset names resolve to shard-list YAMLs in configs/
+        # (reference training/data.py:519-521, e.g. 'm4_shards',
+        # 'sdxl_synthetic_dataset_shards')
+        if isinstance(urls, str) and "." not in os.path.basename(urls):
+            repo_configs = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), "configs")
+            for base in (os.path.join(os.getcwd(), "configs"), repo_configs):
+                candidate = os.path.join(base, f"{urls}.yaml")
+                if os.path.isfile(candidate):
+                    import yaml
+
+                    with open(candidate) as f:
+                        urls = yaml.safe_load(f)
+                    break
         self.urls = expand_urls(urls)
         if process_index is None:
             try:

@@ -175,8 +175,15 @@ def main(argv=None):
     if not pre_encode:
         te_cfg = config.model.get("text_encoder")
         te_path = te_cfg.get("pretrained") if te_cfg is not None else None
+        # clip (default) vs t5 towers (reference config text_encoder.type,
+        # e.g. configs/cc12m_uvit.yaml uses t5-v1_1-large-enc)
+        te_type = (te_cfg.get("type", "clip") if te_cfg is not None else "clip")
+        if te_type == "t5":
+            from ..models.t5_text import T5TextEncoder as _TextCls
+        else:
+            _TextCls = CLIPTextEncoder
         if te_path and os.path.isdir(te_path):
-            text_encoder = CLIPTextEncoder.from_pretrained(te_path)
+            text_encoder = _TextCls.from_pretrained(te_path)
             try:
                 from transformers import AutoTokenizer
 
@@ -185,7 +192,7 @@ def main(argv=None):
                 tokenizer = None
         elif te_cfg is not None and te_cfg.get("params") is not None:
             # fresh text tower for offline/smoke runs
-            text_encoder = CLIPTextEncoder(**te_cfg.params.to_dict())
+            text_encoder = _TextCls(**te_cfg.params.to_dict())
         if text_encoder is not None and tokenizer is None:
             from ..models.clip_text import SimpleTokenizer
 
@@ -202,9 +209,19 @@ def main(argv=None):
 
     tcfg = config.model.transformer.to_dict()
     dtype = jnp.bfloat16 if config.training.get("mixed_precision") == "bf16" else jnp.float32
-    model = MaskGiTUViT_v2(
-        **tcfg, dtype=dtype,
-        remat=bool(config.model.get("gradient_checkpointing", False)))
+    # architecture dispatch (reference train_muse.py:358: 'transformer' = v1
+    # MaskGitTransformer, 'uvit' = MaskGiTUViT_v2; we default to the v2
+    # flagship rather than the reference's v1 default)
+    architecture = config.model.get("architecture", "uvit")
+    is_v1 = architecture == "transformer"
+    if is_v1:
+        from ..models.transformer_v1 import MaskGitTransformer
+
+        model = MaskGitTransformer(**tcfg, dtype=dtype)
+    else:
+        model = MaskGiTUViT_v2(
+            **tcfg, dtype=dtype,
+            remat=bool(config.model.get("gradient_checkpointing", False)))
     mask_id = model.config.mask_token_id
     logger.info(f"transformer params: {model.num_parameters() / 1e6:.1f}M")
 
@@ -243,25 +260,36 @@ def main(argv=None):
                                  with_ema=config.training.get("use_ema", False))
 
     mask_schedule = get_mask_schedule(config.training.get("mask_schedule", "cosine"))
-    train_step = T.make_uvit_train_step(
-        model.module, tx, mask_schedule, mask_id,
-        codebook_size=model.config.codebook_size,
-        min_masking_rate=config.training.get("min_masking_rate", 0.0),
-        noise_type=config.training.get("noise_type", "mask"),
-        predict_all_tokens=config.training.get("predict_all_tokens", False),
-        mask_contiguous_region_prob=config.training.get("mask_contiguous_region_prob"),
-        label_smoothing=config.training.get("label_smoothing", 0.0),
-        cond_dropout_prob=config.training.get("cond_dropout_prob", 0.0),
-        max_grad_norm=None,  # clipping lives in the optimizer chain above
-        with_diagnostics=bool(config.experiment.get("log_entropy_buckets", False)),
-        with_param_grad_norms=bool(config.experiment.get("log_grad_norm_every")),
-        use_soft_targets=bool(config.training.get("use_soft_code_target", False)))
+    if is_v1:
+        train_step = T.make_v1_text2image_train_step(
+            model.module, tx, mask_schedule, mask_id,
+            codebook_size=model.config.codebook_size,
+            min_masking_rate=config.training.get("min_masking_rate", 0.0),
+            label_smoothing=config.training.get("label_smoothing", 0.0),
+            cond_dropout_prob=config.training.get("cond_dropout_prob", 0.0),
+            ema_decay=0.9999 if config.training.get("use_ema", False) else None,
+            max_grad_norm=None)
+        eval_step = None  # v1 eval = loss trends + sample panels
+    else:
+        train_step = T.make_uvit_train_step(
+            model.module, tx, mask_schedule, mask_id,
+            codebook_size=model.config.codebook_size,
+            min_masking_rate=config.training.get("min_masking_rate", 0.0),
+            noise_type=config.training.get("noise_type", "mask"),
+            predict_all_tokens=config.training.get("predict_all_tokens", False),
+            mask_contiguous_region_prob=config.training.get("mask_contiguous_region_prob"),
+            label_smoothing=config.training.get("label_smoothing", 0.0),
+            cond_dropout_prob=config.training.get("cond_dropout_prob", 0.0),
+            max_grad_norm=None,  # clipping lives in the optimizer chain above
+            with_diagnostics=bool(config.experiment.get("log_entropy_buckets", False)),
+            with_param_grad_norms=bool(config.experiment.get("log_grad_norm_every")),
+            use_soft_targets=bool(config.training.get("use_soft_code_target", False)))
+        eval_step = T.make_uvit_eval_step(
+            model.module, mask_schedule, mask_id,
+            eval_mask_ratios=tuple(config.training.get("eval_mask_ratios",
+                                                       (0.1, 0.3, 0.5, 0.7, 0.9))),
+            label_smoothing=config.training.get("label_smoothing", 0.0))
     grad_norm_names = T.grad_norm_param_names(state.params)
-    eval_step = T.make_uvit_eval_step(
-        model.module, mask_schedule, mask_id,
-        eval_mask_ratios=tuple(config.training.get("eval_mask_ratios",
-                                                   (0.1, 0.3, 0.5, 0.7, 0.9))),
-        label_smoothing=config.training.get("label_smoothing", 0.0))
 
     # -- resume -----------------------------------------------------------------
     global_step = 0
@@ -280,7 +308,12 @@ def main(argv=None):
                                           max_length=tokenizer.model_max_length,
                                           return_tensors="np")["input_ids"])
         hs, _, pooled = text_encoder.encode(empty_ids)
-        empty_embeds, empty_cond_embeds = hs[-2], pooled
+        # CLIP: penultimate hidden state + pooled; T5: final state, no pooled
+        empty_embeds = hs[-2] if len(hs) >= 2 else hs[-1]
+        empty_cond_embeds = pooled
+        if pooled is None and not is_v1:
+            empty_cond_embeds = jnp.zeros(
+                (1, model.config.cond_embed_dim), dtype=jnp.float32)
 
     warned_missing_pooled = []
 
@@ -341,7 +374,17 @@ def main(argv=None):
                                         max_length=tokenizer.model_max_length,
                                         return_tensors="np")["input_ids"])
             hs, _, pooled = text_encoder.encode(ids)
-            out["encoder_hidden_states"], out["cond_embeds"] = hs[-2], pooled
+            out["encoder_hidden_states"] = hs[-2] if len(hs) >= 2 else hs[-1]
+            if pooled is None and not is_v1:
+                # T5 has no pooled output; models trained with it set
+                # add_cond_embeds false and the zeros input is ignored
+                pooled = jnp.zeros((ids.shape[0], model.config.cond_embed_dim),
+                                   dtype=jnp.float32)
+            out["cond_embeds"] = pooled
+        if is_v1:
+            # v1 conditions through cross-attention alone: no pooled/micro
+            out.pop("cond_embeds", None)
+            return put_batch(out, mesh) if place else out
         n = len(out["image_tokens"])
         aes = batch.get("aesthetic_scores")
         micro = np.concatenate([
@@ -469,8 +512,8 @@ def main(argv=None):
         # NOTE: eval + generation run on EVERY process — the jitted calls
         # contain collectives, so gating them on is_main would deadlock a
         # multi-host pod (VERDICT weak #2); only host I/O is process-0-only.
-        if eval_every and eval_dataset is not None and \
-                global_step % eval_every == 0:
+        if eval_every and eval_dataset is not None and eval_step is not None \
+                and global_step % eval_every == 0:
             losses = []
             for i, eval_batch in enumerate(eval_dataset):
                 if i >= config.experiment.get("max_eval_batches", 8):
@@ -493,20 +536,26 @@ def main(argv=None):
 
             gen_batch = prepare_batch({k: take(v) for k, v in batch.items()},
                                       jrandom.fold_in(key, 3), place=False)
-            tokens = model.generate2(
-                gen_batch["encoder_hidden_states"], gen_batch["cond_embeds"],
-                gen_batch["micro_conds"],
-                empty_embeds=empty_embeds, empty_cond_embeds=empty_cond_embeds,
-                timesteps=12, guidance_scale=8.0,
-                seq_len=int(gen_batch["image_tokens"].shape[1]),
-                key=jrandom.fold_in(key, 1))
+            if is_v1:
+                tokens = model.generate2(
+                    encoder_hidden_states=gen_batch["encoder_hidden_states"],
+                    timesteps=12, guidance_scale=8.0,
+                    key=jrandom.fold_in(key, 1))
+            else:
+                tokens = model.generate2(
+                    gen_batch["encoder_hidden_states"], gen_batch["cond_embeds"],
+                    gen_batch["micro_conds"],
+                    empty_embeds=empty_embeds, empty_cond_embeds=empty_cond_embeds,
+                    timesteps=12, guidance_scale=8.0,
+                    seq_len=int(gen_batch["image_tokens"].shape[1]),
+                    key=jrandom.fold_in(key, 1))
             images = vq_model.decode_code(tokens)
             if is_main:
                 save_image_grid(np.asarray(jax.device_get(images)),
                                 os.path.join(output_dir, f"samples-{global_step}.png"))
 
             inpaint_dir = config.experiment.get("inpainting_validation_dir")
-            if inpaint_dir and text_encoder is not None:
+            if inpaint_dir and text_encoder is not None and not is_v1:
                 latent_side = int(gen_batch["image_tokens"].shape[1] ** 0.5)
                 entries = load_inpainting_validation_data(
                     inpaint_dir, config.dataset.params.get("resolution", 256),

@@ -36,6 +36,7 @@ __all__ = [
     "make_uvit_train_step",
     "make_uvit_eval_step",
     "make_maskgit_train_step",
+    "make_v1_text2image_train_step",
     "per_parameter_grad_norms",
     "grad_norm_param_names",
     "save_checkpoint",
@@ -273,6 +274,64 @@ def per_parameter_grad_norms(grads, top_k: int = 20):
         for path, leaf in flat
     }
     return dict(sorted(norms.items(), key=lambda kv: -kv[1])[:top_k])
+
+
+def make_v1_text2image_train_step(
+    module,
+    tx,
+    mask_schedule,
+    mask_id: int,
+    *,
+    codebook_size: int,
+    min_masking_rate: float = 0.0,
+    label_smoothing: float = 0.0,
+    cond_dropout_prob: float = 0.0,
+    ema_decay: Optional[float] = None,
+    max_grad_norm: Optional[float] = None,
+) -> Callable:
+    """Text2image train step for the v1 MaskGitTransformer (reference
+    config.model.architecture == 'transformer', train_muse.py:358): text
+    conditioning rides cross-attention only — no pooled/micro-cond embeds —
+    and CFG dropout zeroes the encoder states via cond_dropout_mask
+    (reference modeling_transformer.py:1244-1247)."""
+
+    def loss_fn(params, batch, key):
+        mask_key, drop_key, dropout_key = jax.random.split(key, 3)
+        input_ids, labels, _, mask_prob = mask_or_random_replace_tokens(
+            mask_key, batch["image_tokens"], mask_id, mask_schedule,
+            min_masking_rate=min_masking_rate, codebook_size=codebook_size)
+        ehs = batch["encoder_hidden_states"]
+        cond_mask = None
+        if cond_dropout_prob > 0.0:
+            keep = jax.random.uniform(
+                drop_key, (ehs.shape[0], 1, 1)) >= cond_dropout_prob
+            cond_mask = keep.astype(ehs.dtype)
+        logits, loss = module.apply(
+            {"params": params}, input_ids, ehs, None, labels, label_smoothing,
+            cond_mask, deterministic=False, rngs={"dropout": dropout_key})
+        return loss, mask_prob
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, key):
+        (loss, mask_prob), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        grad_norm = optax.global_norm(grads)
+        if max_grad_norm is not None:
+            scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None and ema_decay is not None:
+            decay = _ema_decay(state.step, decay=ema_decay)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e - (1 - decay) * (e - p), new_ema, new_params)
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "avg_masking_rate": jnp.mean(mask_prob)}
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt_state, ema_params=new_ema), metrics
+
+    return train_step
 
 
 def make_maskgit_train_step(

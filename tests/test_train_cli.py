@@ -216,3 +216,44 @@ def test_train_muse_cli_pre_encode(tmp_path):
     out = cfg["experiment"]["output_dir"]
     logged = [json.loads(line) for line in open(os.path.join(out, "metrics.jsonl"))]
     assert all(np.isfinite(m["loss"]) for m in logged if "loss" in m)
+
+
+def test_train_muse_cli_v1_architecture(tmp_path):
+    """model.architecture: transformer -> v1 MaskGitTransformer text2image
+    (reference train_muse.py:358 dispatch; cross-attention conditioning,
+    no pooled/micro-cond embeds)."""
+    from open_muse_tpu.training.train_muse import main
+
+    shard = str(tmp_path / "data-000.tar")
+    _make_shard(shard, 8)
+    cfg = json.loads(json.dumps(BASE))
+    cfg["experiment"]["output_dir"] = str(tmp_path / "out")
+    cfg["dataset"]["params"]["train_shards_path_or_url"] = shard
+    cfg["training"]["batch_size"] = 8
+    cfg["training"]["cond_dropout_prob"] = 0.1
+    cfg["model"] = {
+        "architecture": "transformer",
+        "vq_model_type": "maskgit_vqgan",
+        "vq_model": {"pretrained": None, "params": VQ_TINY},
+        "text_encoder": {"pretrained": None,
+                         "params": {"vocab_size": 100, "hidden_size": 32,
+                                    "intermediate_size": 64, "num_hidden_layers": 2,
+                                    "num_attention_heads": 4,
+                                    "max_position_embeddings": 16,
+                                    "projection_dim": 24}},
+        "transformer": {"vocab_size": 70, "hidden_size": 32,
+                        "num_hidden_layers": 2, "num_attention_heads": 4,
+                        "intermediate_size": 64, "codebook_size": 64,
+                        "num_vq_tokens": 256, "max_position_embeddings": 256,
+                        "add_cross_attention": True, "encoder_hidden_size": 32,
+                        "project_encoder_hidden_states": True,
+                        "hidden_dropout": 0.0, "attention_dropout": 0.0},
+    }
+    state = main([f"config={_write_cfg(tmp_path, cfg)}"])
+    import jax
+
+    assert int(jax.device_get(state.step)) == 4
+    out = cfg["experiment"]["output_dir"]
+    logged = [json.loads(line) for line in open(os.path.join(out, "metrics.jsonl"))]
+    assert all(np.isfinite(m["loss"]) for m in logged if "loss" in m)
+    assert os.path.isfile(os.path.join(out, "samples-4.png"))

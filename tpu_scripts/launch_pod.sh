@@ -1,17 +1,19 @@
 #!/usr/bin/env bash
-# TPU-pod launcher (the SLURM analog: reference slurm_scripts/*.slurm used
-# sbatch + torch.distributed.run with c10d rendezvous + NCCL/EFA env tuning,
-# research_run_512.slurm:43-72).  On TPU pods none of that exists: every host
-# runs the same process and jax.distributed.initialize() discovers the pod
-# topology from the TPU metadata — no rendezvous server, no comm env tuning.
+# TPU-pod training launcher (the SLURM analog: reference slurm_scripts/*.slurm
+# used sbatch + torch.distributed.run with c10d rendezvous + NCCL/EFA env
+# tuning, research_run_512.slurm:43-72).  On TPU pods none of that exists:
+# every host runs the same process and jax.distributed.initialize() discovers
+# the pod topology from the TPU metadata — no rendezvous server, no comm env
+# tuning.
 #
 # Usage:
-#   ./tpu_scripts/launch_pod.sh <tpu-name> <zone> configs/research_run_512.yaml [overrides...]
+#   ./tpu_scripts/launch_pod.sh [--dry-run] <tpu-name> <zone> configs/research_run_512.yaml [overrides...]
 #
-# Requires: gcloud CLI authenticated, the repo synced to each host (this
-# script rsyncs it), datasets reachable from the hosts (GCS via pipe: urls).
+# Requires: gcloud CLI authenticated, datasets reachable from the hosts
+# (GCS via pipe: urls).
 
 set -euo pipefail
+source "$(dirname "$0")/common.sh"
 
 TPU_NAME=${1:?tpu name}
 ZONE=${2:?zone}
@@ -22,19 +24,17 @@ OVERRIDES="$*"
 REPO_DIR=$(cd "$(dirname "$0")/.." && pwd)
 
 echo ">> syncing repo to all hosts of ${TPU_NAME}"
-gcloud compute tpus tpu-vm scp --recurse "${REPO_DIR}" "${TPU_NAME}:~/muse-tpu" \
-    --zone "${ZONE}" --worker=all
+tpu_scp "${REPO_DIR}" "${TPU_NAME}:~/muse-tpu" "${ZONE}"
 
 echo ">> building native IO library on all hosts"
-gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all \
-    --command "make -C ~/muse-tpu/native -s"
+tpu_ssh "${TPU_NAME}" "${ZONE}" all "make -C ~/muse-tpu/native -s"
 
 echo ">> launching training on all hosts"
 # jax.distributed.initialize() auto-detects coordinator/process count on TPU
 # pods; per-host shard splitting happens inside the data pipeline
 # (open_muse_tpu/training/data.py ShardSource).
-gcloud compute tpus tpu-vm ssh "${TPU_NAME}" --zone "${ZONE}" --worker=all \
-    --command "cd ~/muse-tpu && nohup python -m open_muse_tpu.training.train_muse \
+tpu_ssh "${TPU_NAME}" "${ZONE}" all \
+    "cd ~/muse-tpu && nohup python -m open_muse_tpu.training.train_muse \
         config=${CONFIG} ${OVERRIDES} > train_\$(hostname).log 2>&1 &"
 
 echo ">> launched. tail logs with:"
