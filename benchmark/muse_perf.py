@@ -81,11 +81,12 @@ def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
 
     float(jnp.sum(call(input_ids, micro, key)))  # compile + force
 
-    # XLA's own FLOP count for the fused program -> analytic MFU
+    # XLA's own FLOP count for the fused program -> analytic MFU (uses the
+    # already-compiled program; re-jitting the closure would trigger a
+    # second, params-as-constants compile)
     flops = None
     try:
-        lowered = jax.jit(call).lower(input_ids, micro, key)
-        cost = lowered.compile().cost_analysis()
+        cost = call.lower(input_ids, micro, key).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None

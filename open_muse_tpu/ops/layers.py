@@ -195,10 +195,34 @@ def dot_product_attention(query, key, value, scale: Optional[float] = None):
     return jnp.einsum("bhqk,bkhd->bqhd", weights, value)
 
 
+class _ProjParams(nn.Module):
+    """Bare kernel(+bias) holder with nn.Dense-identical param names/shapes,
+    so q/k/v weights can be CONCATENATED into one matmul at apply time while
+    checkpoints keep the torch-compatible query/key/value split."""
+
+    in_features: int
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head self/cross attention (reference
     muse/modeling_transformer_v2.py:834-916).  Param names (query/key/value/
-    out) match the torch attribute names for mechanical weight conversion."""
+    out) match the torch attribute names for mechanical weight conversion.
+
+    TPU perf: the q/k/v projections run as ONE fused matmul for self
+    attention (x @ [Wq|Wk|Wv]) and q + [Wk|Wv] for cross attention — wider N
+    keeps the MXU busy at the small decode batch sizes where three separate
+    (M,1024)x(1024,1024) matmuls are launch/tiling-bound (STATUS round-1
+    profiler: matmul fusions ~1.5 ms of the 3.3 ms decode step)."""
 
     hidden_size: int
     num_heads: int
@@ -208,14 +232,37 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, context=None, attention_mask=None):
-        if context is None:
+        self_attn = context is None
+        if self_attn:
             context = hidden_states
         head_dim = self.hidden_size // self.num_heads
-        dense = lambda name: nn.Dense(self.hidden_size, use_bias=self.use_bias,
-                                      dtype=self.dtype, name=name)
-        q = dense("query")(hidden_states)
-        k = dense("key")(context)
-        v = dense("value")(context)
+        q_in = hidden_states.shape[-1]
+        kv_in = context.shape[-1]
+        wq, bq = _ProjParams(q_in, self.hidden_size, self.use_bias,
+                             name="query")()
+        wk, bk = _ProjParams(kv_in, self.hidden_size, self.use_bias,
+                             name="key")()
+        wv, bv = _ProjParams(kv_in, self.hidden_size, self.use_bias,
+                             name="value")()
+
+        def matmul(x, w, b):
+            y = jnp.dot(x, w.astype(self.dtype))
+            return y if b is None else y + b.astype(self.dtype)
+
+        def cat(parts):
+            good = [p for p in parts if p is not None]
+            return jnp.concatenate([p.astype(self.dtype) for p in good],
+                                   axis=-1) if good else None
+
+        if self_attn:
+            qkv = matmul(hidden_states, cat([wq, wk, wv]),
+                         cat([bq, bk, bv]) if self.use_bias else None)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = matmul(hidden_states, wq.astype(self.dtype), bq)
+            kv = matmul(context, cat([wk, wv]),
+                        cat([bk, bv]) if self.use_bias else None)
+            k, v = jnp.split(kv, 2, axis=-1)
         batch, q_len = q.shape[:2]
         kv_len = k.shape[1]
         q = q.reshape(batch, q_len, self.num_heads, head_dim)
@@ -230,4 +277,5 @@ class Attention(nn.Module):
         else:
             attn = dot_product_attention(q, k, v)
         attn = attn.reshape(batch, q_len, self.hidden_size)
-        return dense("out")(attn)
+        return nn.Dense(self.hidden_size, use_bias=self.use_bias,
+                        dtype=self.dtype, name="out")(attn)

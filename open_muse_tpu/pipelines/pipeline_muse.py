@@ -282,6 +282,12 @@ class PipelineMuse:
             return fused(self.transformer.params, self.text_encoder.params,
                          self.vae.params, input_ids, micro_conds, key)
 
+        # expose the underlying jitted program for cost analysis (the closure
+        # itself is not jitted; re-jitting it would bake params in as
+        # constants and force a second, much larger compile)
+        fn.lower = lambda input_ids, micro_conds, key: fused.lower(
+            self.transformer.params, self.text_encoder.params,
+            self.vae.params, input_ids, micro_conds, key)
         return fn
 
     # -- serialization -------------------------------------------------------
