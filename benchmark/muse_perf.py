@@ -56,7 +56,7 @@ def build(resolution: int, dtype):
 
 
 def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
-             iters: int = 6):
+             iters: int = 12):
     import jax
     import jax.numpy as jnp
 
@@ -80,16 +80,30 @@ def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
                                    seq_len=seq_len)
 
     float(jnp.sum(call(input_ids, micro, key)))  # compile + force
+    # second warm call: the first post-compile dispatch through the tunnel
+    # routinely pays extra RTT that poisons small-iters medians
+    float(jnp.sum(call(input_ids, micro, jax.random.fold_in(key, 999))))
 
-    # XLA's own FLOP count for the fused program -> analytic MFU (uses the
-    # already-compiled program; re-jitting the closure would trigger a
-    # second, params-as-constants compile)
-    flops = None
+    # Analytic FLOP count for the MFU column.  XLA's cost_analysis counts the
+    # decode while-loop BODY once regardless of trip count, so it can't be
+    # used directly; this is the matmul-dominant lower bound: per decode step
+    # one CFG-batched (2B) transformer forward at the trunk sequence length,
+    # plus one text-encoder forward over [cond|empty] prompts.  (VQ decode
+    # and the O(S^2) attention terms are excluded -> MFU is a lower bound.)
+    trunk_tokens = 256  # 256px f16 trunk; 512px force_down_up_sample -> 16x16
+    p_t = transformer.num_parameters()
+    p_te = text_encoder.num_parameters()
+    flops = (timesteps * 2 * p_t * (2 * batch_size) * trunk_tokens
+             + 2 * p_te * (2 * batch_size) * 77)
+
+    # static peak-memory estimate from the compiled program
+    # (device.memory_stats() is unavailable through the tunnel backend)
+    peak_gb_static = ""
     try:
-        cost = call.lower(input_ids, micro, key).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        mem = call.lower(input_ids, micro, key).compile().memory_analysis()
+        peak_gb_static = round(
+            (mem.argument_size_in_bytes + mem.output_size_in_bytes
+             + mem.temp_size_in_bytes) / 1e9, 2)
     except Exception:
         pass
     acc = jnp.zeros((), jnp.float32)
@@ -100,11 +114,13 @@ def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
     total = (time.perf_counter() - t0) * 1000
     median_ms = total / iters
     # peak device memory (reference measure_max_memory_allocated,
-    # benchmark/muse_perf.py:533-542)
-    peak_gb = ""
+    # benchmark/muse_perf.py:533-542); live stats when the backend exposes
+    # them, else the compiled program's static analysis from above
+    peak_gb = peak_gb_static
     try:
         stats = jax.local_devices()[0].memory_stats()
-        peak_gb = round(stats.get("peak_bytes_in_use", 0) / 1e9, 2)
+        if stats:
+            peak_gb = round(stats.get("peak_bytes_in_use", 0) / 1e9, 2)
     except Exception:
         pass
     return median_ms, batch_size / (median_ms / 1000), peak_gb, flops

@@ -132,13 +132,18 @@ class ModelMixin(ConfigMixin):
 
     def set_use_memory_efficient_attention_xformers(self, valid: bool,
                                                     attention_op=None):
-        """Reference toggle (modeling_utils.py:276-329).  On TPU the XLA
-        attention is already memory-efficient at these sequence lengths; this
-        maps to the Pallas attention kernel env switch."""
-        import os
+        """Reference toggle (modeling_utils.py:276-329) — a deliberate no-op
+        here.  On TPU the default XLA attention IS the memory-efficient
+        implementation at this model family's sequence lengths (<=1024+77);
+        benchmarked round 1, the Pallas flash-attention kernel matched it
+        without winning, has no VJP, and stays an inference-only opt-in via
+        MUSE_TPU_PALLAS_ATTN=1 (ops/pallas/flash_attention.py) rather than a
+        training-path switch."""
+        from ..utils.logging import get_logger
 
-        os.environ["MUSE_TPU_PALLAS_ATTN"] = "1" if valid else "0"
-        self._jit_cache.clear()
+        get_logger(__name__).info(
+            "set_use_memory_efficient_attention_xformers is a no-op on TPU: "
+            "XLA attention is already memory-efficient at these shapes")
         return self
 
     # -- parameters ---------------------------------------------------------

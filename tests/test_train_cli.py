@@ -9,6 +9,9 @@ import numpy as np
 import pytest
 import yaml
 
+# full trainer-CLI runs: minutes each -> nightly tier
+pytestmark = pytest.mark.slow
+
 
 def _make_shard(path, n, with_class=False):
     from PIL import Image
