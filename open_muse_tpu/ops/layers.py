@@ -246,7 +246,10 @@ class Attention(nn.Module):
                              name="value")()
 
         def matmul(x, w, b):
-            y = jnp.dot(x, w.astype(self.dtype))
+            # cast BOTH operands (nn.Dense semantics): with a float32 input
+            # and bf16 policy, jnp.dot would otherwise promote to f32 and
+            # silently lose the MXU bf16 win the fusion exists for
+            y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
             return y if b is None else y + b.astype(self.dtype)
 
         def cat(parts):

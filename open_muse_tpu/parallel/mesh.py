@@ -63,10 +63,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def put_batch(batch: dict, mesh: Mesh) -> dict:
+# dict keys that carry broadcast tensors (one row shared by the whole batch)
+# rather than per-sample rows — these replicate instead of batch-sharding.
+# Keyed by NAME, not by shape[0]==1: a per-host batch of 1 (global batch ==
+# process count) must still shard/assemble as a batch tensor.
+REPLICATED_BATCH_KEYS = frozenset({"empty_embeds", "empty_cond_embeds"})
+
+
+def put_batch(batch: dict, mesh: Mesh,
+              replicated_keys=REPLICATED_BATCH_KEYS) -> dict:
     """Place a host-local batch dict onto the mesh with the batch dim sharded
-    over ('dp','fsdp').  Leading-dim-1 entries (e.g. empty_embeds broadcast
-    tensors) and scalars replicate.
+    over ('dp','fsdp').  Scalars and entries named in ``replicated_keys``
+    (broadcast tensors like the CFG empty-prompt embeds) replicate.
 
     Single-host: plain jax.device_put.  Multi-host: each host contributes its
     local slice of the global batch (accelerate split_batches semantics —
@@ -80,16 +88,16 @@ def put_batch(batch: dict, mesh: Mesh) -> dict:
     rep = replicated(mesh)
     multihost = jax.process_count() > 1
 
-    def place(v):
+    def place(k, v):
         if isinstance(v, (list, tuple)) and v and isinstance(v[0], str):
             return v  # raw text rides along for host-side use
         arr = np.asarray(v)
-        sh = rep if arr.ndim == 0 or arr.shape[0] == 1 else batch_sh
+        sh = rep if arr.ndim == 0 or k in replicated_keys else batch_sh
         if multihost:
             return jax.make_array_from_process_local_data(sh, arr)
         return jax.device_put(arr, sh)
 
-    return {k: place(v) for k, v in batch.items()}
+    return {k: place(k, v) for k, v in batch.items()}
 
 
 def local_batch_slice(global_batch: int, process_index: Optional[int] = None,

@@ -267,13 +267,17 @@ def person_token_replace(text: str, rng: random.Random) -> str:
 def image_transform(image, resolution: int = 256, rng: Optional[random.Random] = None,
                     center_crop: bool = False):
     """Resize shorter side to `resolution`, (random|center) crop, return
-    (NHWC float array in [0,1], orig_size, crop_coords) — crop coords feed the
-    micro-conds (reference training/data.py:136-145)."""
+    (NHWC float array in [0,1], orig_size (width, height), crop_coords
+    (top, left)) — both feed the micro-conds (reference
+    training/data.py:96-97,136-145)."""
     from PIL import Image
 
     rng = rng or random
     w, h = image.size
-    orig_size = (h, w)
+    # reference convention: orig size is (width, height) — get_orig_size
+    # (training/data.py:96-97) feeds (original_width, original_height) into
+    # micro_conds; crop coords are (top, left) (training/data.py:141-145)
+    orig_size = (w, h)
     scale = resolution / min(w, h)
     image = image.resize((max(resolution, round(w * scale)),
                           max(resolution, round(h * scale))), Image.BILINEAR)
@@ -586,10 +590,11 @@ class Text2ImageDataset:
                 text = self.text_map(text)
             texts.append(person_token_replace(text, self.rng))
             # micro-cond origin size prefers the metadata (reference
-            # get_orig_size, training/data.py:96-97) over the decoded size
+            # get_orig_size, training/data.py:96-97) over the decoded size;
+            # (width, height) order matches the reference end-to-end
             meta = s.get("metadata") or {}
             if "original_width" in meta and "original_height" in meta:
-                orig = (int(meta["original_height"]), int(meta["original_width"]))
+                orig = (int(meta["original_width"]), int(meta["original_height"]))
             orig_sizes.append(orig)
             crops.append(crop)
             aes.append(get_aesthetic_score(meta))

@@ -514,11 +514,26 @@ def main(argv=None):
         # multi-host pod (VERDICT weak #2); only host I/O is process-0-only.
         if eval_every and eval_dataset is not None and eval_step is not None \
                 and global_step % eval_every == 0:
-            losses = []
-            for i, eval_batch in enumerate(eval_dataset):
-                if i >= config.experiment.get("max_eval_batches", 8):
+            # Buffer host-local eval batches first, then agree on a COMMON
+            # count across hosts (min) before making any collective call —
+            # uneven eval-shard splits would otherwise deadlock the pod
+            # (some processes calling put_batch/eval_step more times than
+            # others).  Single-host: min over one value is a no-op.
+            max_eval = config.experiment.get("max_eval_batches", 8)
+            buffered = []
+            for eval_batch in eval_dataset:
+                buffered.append(eval_batch)
+                if len(buffered) >= max_eval:
                     break
-                eb = prepare_batch(eval_batch, jrandom.fold_in(key, 999 + i))
+            n_eval = len(buffered)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                counts = multihost_utils.process_allgather(
+                    np.asarray(n_eval, dtype=np.int32))
+                n_eval = int(np.min(counts))
+            losses = []
+            for i in range(n_eval):
+                eb = prepare_batch(buffered[i], jrandom.fold_in(key, 999 + i))
                 losses.append(float(jax.device_get(
                     eval_step(state.params, eb, jrandom.fold_in(key, i)))))
             if losses and is_main:

@@ -218,7 +218,8 @@ import os  # noqa: E402
 
 def test_put_batch_shards_over_dp_fsdp():
     """put_batch shards the batch dim over ('dp','fsdp') and replicates
-    broadcast (leading-dim-1) tensors; values round-trip exactly."""
+    broadcast tensors by NAME (empty_embeds allowlist — a per-host batch of
+    1 must still route to batch sharding); values round-trip exactly."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from open_muse_tpu.parallel.mesh import create_mesh, put_batch

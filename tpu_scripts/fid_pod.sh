@@ -17,18 +17,39 @@ N_HOSTS=$(tpu_host_count "${TPU_NAME}" "${ZONE}")
 
 echo ">> generating on ${N_HOSTS} hosts"
 for ((i=0; i<N_HOSTS; i++)); do
+  # each generation run drops fid_gen_<i>.done (containing its exit code)
+  # when it finishes so the scoring pass can wait for ALL hosts
   tpu_ssh "${TPU_NAME}" "${ZONE}" "${i}" \
-      "cd ~/muse-tpu && nohup python scripts/calculate_fid.py \
-          --model '${MODEL}' --captions '${CAPTIONS}' --output-dir '${OUT}' \
-          --num-images 30000 --batch-size 16 --timesteps 12 \
-          --task-id ${i} --num-tasks ${N_HOSTS} > fid_gen_${i}.log 2>&1 &"
+      "cd ~/muse-tpu && rm -f fid_gen_${i}.done && nohup sh -c \
+          'python scripts/calculate_fid.py \
+              --model '${MODEL}' --captions '${CAPTIONS}' --output-dir '${OUT}' \
+              --num-images 30000 --batch-size 16 --timesteps 12 \
+              --task-id ${i} --num-tasks ${N_HOSTS} > fid_gen_${i}.log 2>&1; \
+           echo \$? > fid_gen_${i}.done' >/dev/null 2>&1 &"
 done
 
 if [[ -n "${REAL_DIR}" ]]; then
-  echo ">> scoring on worker 0 once generation finishes"
+  echo ">> waiting for generation to finish on all hosts"
+  for ((i=0; i<N_HOSTS; i++)); do
+    if [[ "${DRY_RUN}" == "1" ]]; then
+      tpu_ssh "${TPU_NAME}" "${ZONE}" "${i}" \
+          "wait-for fid_gen_${i}.done == 0"  # prints the wait plan
+      continue
+    fi
+    while rc=$(tpu_ssh "${TPU_NAME}" "${ZONE}" "${i}" \
+        "cat ~/muse-tpu/fid_gen_${i}.done 2>/dev/null"); [[ -z "${rc}" ]]; do
+      sleep 60
+    done
+    if [[ "${rc}" != "0" ]]; then
+      echo "!! generation failed on host ${i} (exit ${rc}); see fid_gen_${i}.log" >&2
+      exit 1
+    fi
+    echo "   host ${i} done"
+  done
+  echo ">> scoring on worker 0"
   tpu_ssh "${TPU_NAME}" "${ZONE}" 0 \
       "cd ~/muse-tpu && python scripts/calculate_fid.py \
           --model '${MODEL}' --captions '${CAPTIONS}' --output-dir '${OUT}' \
           --real-dir '${REAL_DIR}' --num-images 0"
 fi
-echo "launched FID generation on ${N_HOSTS} hosts"
+echo "FID generation complete on ${N_HOSTS} hosts"
