@@ -1,0 +1,171 @@
+"""Measure THIS framework's quality numbers and write
+benchmark/artifacts/quality_ours.csv.
+
+Two modes:
+
+1. (default) **Trained-from-scratch regression** — trains a tiny MUSE stack
+   on the colored-squares distribution, generates, and scores FID (seeded
+   CLIP features), prompt->color accuracy, and CLIP-score.  Fully offline,
+   deterministic, every number measured by this run.  This is the quality
+   loop the reference closes with 10k-COCO hub-checkpoint curves
+   (/root/reference/benchmark/model_quality.py:18-88), scaled to what runs
+   without network access.
+
+2. ``--pipeline DIR --captions FILE --real-dir DIR`` — score an actual
+   pipeline checkpoint: generate images for the captions, compute FID
+   against the real dir and CLIP score against the captions.  With
+   ``--clip-model`` pointing at real CLIP weights this produces the
+   published-protocol CLIP-FID / CLIP-score; without it the seeded-extractor
+   fallback is used and labeled as such.
+
+Usage:
+  python benchmark/measure_quality.py [--train-steps 200] [--n-eval 30]
+  python benchmark/measure_quality.py --pipeline ckpt/ --captions c.txt \
+      --real-dir real/ [--clip-model clip_dir/] [--timesteps 12] [--cfg 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ARTIFACTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "artifacts")
+
+
+def write_rows(rows, out_path):
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    fields = ["protocol", "metric", "value", "extractor", "n_images", "notes"]
+    with open(out_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+    print(f"wrote {out_path} ({len(rows)} rows)")
+
+
+def regression_mode(args):
+    from open_muse_tpu.eval.quality_regression import run_quality_regression
+
+    m = run_quality_regression(train_steps=args.train_steps,
+                               vq_steps=args.vq_steps, n_eval=args.n_eval,
+                               seed=args.seed)
+    proto = f"tiny-regression(seed={args.seed},steps={args.train_steps})"
+    seeded = "clip_vit_seeded(NOT a published metric; deterministic)"
+    rows = [
+        dict(protocol=proto, metric="fid_clipfeat_seeded_trained",
+             value=round(m["fid_clipfeat_seeded_trained"], 3),
+             extractor=seeded, n_images=int(m["n_eval"]),
+             notes="trained model vs held-out real set"),
+        dict(protocol=proto, metric="fid_clipfeat_seeded_untrained",
+             value=round(m["fid_clipfeat_seeded_untrained"], 3),
+             extractor=seeded, n_images=int(m["n_eval"]),
+             notes="untrained baseline (must be >> trained)"),
+        dict(protocol=proto, metric="color_accuracy_trained",
+             value=round(m["color_accuracy_trained"], 3), extractor="exact",
+             n_images=int(m["n_eval"]),
+             notes="text-image agreement; chance=0.33"),
+        dict(protocol=proto, metric="color_accuracy_untrained",
+             value=round(m["color_accuracy_untrained"], 3), extractor="exact",
+             n_images=int(m["n_eval"]), notes="chance baseline"),
+        dict(protocol=proto, metric="clip_score_seeded_trained",
+             value=round(m["clip_score_seeded_trained"], 3), extractor=seeded,
+             n_images=int(m["n_eval"]),
+             notes="CLIP-score machinery end-to-end"),
+        dict(protocol=proto, metric="train_loss",
+             value=round(m["train_loss_last"], 4), extractor="n/a",
+             n_images=0,
+             notes=f"from {m['train_loss_first']:.4f} at step 0"),
+    ]
+    ok = (m["fid_clipfeat_seeded_trained"] < m["fid_clipfeat_seeded_untrained"]
+          and m["color_accuracy_trained"] > 0.9)
+    print(f"regression {'PASS' if ok else 'FAIL'}: "
+          f"FID {m['fid_clipfeat_seeded_trained']:.2f} (trained) vs "
+          f"{m['fid_clipfeat_seeded_untrained']:.2f} (untrained), "
+          f"color acc {m['color_accuracy_trained']:.2f} vs "
+          f"{m['color_accuracy_untrained']:.2f}")
+    return rows, ok
+
+
+def pipeline_mode(args):
+    import jax
+
+    from open_muse_tpu.eval.clip_score import clip_score
+    from open_muse_tpu.eval.fid import (CLIPFeatureExtractor,
+                                        fid_between_image_sets,
+                                        load_image_dir)
+    from open_muse_tpu.models.clip_vision import CLIPScorer
+    from open_muse_tpu.pipelines.pipeline_muse import PipelineMuse
+
+    pipe = PipelineMuse.from_pretrained(args.pipeline)
+    with open(args.captions) as f:
+        captions = [line.strip() for line in f if line.strip()]
+    captions = captions[: args.n_eval]
+    images = []
+    key = jax.random.PRNGKey(args.seed)
+    for start in range(0, len(captions), args.batch_size):
+        chunk = captions[start:start + args.batch_size]
+        key, sub = jax.random.split(key)
+        images.extend(pipe(list(chunk), timesteps=args.timesteps,
+                           guidance_scale=args.cfg, key=sub))
+
+    if args.clip_model:
+        scorer = CLIPScorer.from_pretrained(args.clip_model)
+        extractor = CLIPFeatureExtractor(scorer.vision)
+        label = f"clip({args.clip_model})"
+        fid_metric, cs_metric = "fid_clip", "clip_score"
+    else:
+        scorer = None
+        extractor = CLIPFeatureExtractor.seeded(seed=1234)
+        label = "clip_vit_seeded(NOT a published metric; deterministic)"
+        fid_metric, cs_metric = "fid_clipfeat_seeded", "clip_score_seeded"
+
+    real = load_image_dir(args.real_dir, limit=len(images))
+    fid = fid_between_image_sets(real, images, extractor)
+    proto = (f"pipeline({os.path.basename(os.path.normpath(args.pipeline))},"
+             f"cfg={args.cfg},steps={args.timesteps})")
+    rows = [dict(protocol=proto, metric=fid_metric, value=round(fid, 3),
+                 extractor=label, n_images=len(images),
+                 notes=f"vs {args.real_dir}")]
+    if scorer is not None:
+        cs = clip_score(scorer, images, captions)
+        rows.append(dict(protocol=proto, metric=cs_metric,
+                         value=round(cs, 3), extractor=label,
+                         n_images=len(images), notes="vs captions"))
+    print(f"pipeline quality: {fid_metric}={fid:.2f} over {len(images)} images")
+    return rows, True
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--pipeline", default=None)
+    p.add_argument("--captions", default=None)
+    p.add_argument("--real-dir", default=None)
+    p.add_argument("--clip-model", default=None)
+    p.add_argument("--train-steps", type=int, default=200)
+    p.add_argument("--vq-steps", type=int, default=150)
+    p.add_argument("--n-eval", type=int, default=30)
+    p.add_argument("--timesteps", type=int, default=12)
+    p.add_argument("--cfg", type=float, default=8.0)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=os.path.join(ARTIFACTS,
+                                                 "quality_ours.csv"))
+    args = p.parse_args(argv)
+
+    if args.pipeline:
+        if not (args.captions and args.real_dir):
+            p.error("--pipeline mode needs --captions and --real-dir")
+        rows, ok = pipeline_mode(args)
+    else:
+        rows, ok = regression_mode(args)
+    write_rows(rows, args.out)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

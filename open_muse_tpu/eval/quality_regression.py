@@ -1,0 +1,253 @@
+"""Self-contained quality regression: train a tiny MUSE stack from scratch on
+a synthetic prompt->image distribution, generate, and SCORE the result.
+
+This closes the quality loop the reference closes with published
+FID/CLIP/ISC curves (benchmark/model_quality.py:18-88, measured on 10k COCO
+with hub checkpoints): with no network access to the openMUSE weights, the
+measurable equivalent is a train-to-convergence regression — if any piece of
+the vertical (VQ tokenize, masking, fused train step, decode loop, VQ decode,
+scoring) is wrong, the trained model's FID against a held-out real set will
+not beat the untrained model's, and its prompt->color accuracy will sit at
+chance.
+
+Metrics produced (all MEASURED, nothing replayed):
+  fid_clipfeat_seeded  Fréchet distance over a fixed-seed CLIP tower's
+                       features (deterministic regression metric; becomes
+                       published CLIP-FID when real weights are supplied)
+  color_accuracy       fraction of prompts whose generated image has the
+                       prompted dominant channel (direct text-image agreement)
+  clip_score_seeded    CLIP-score machinery end-to-end (seeded towers)
+
+The colored-squares distribution matches tests/test_learning_e2e.py; that
+test is the fast gate, this module is the measured-artifact producer
+(benchmark/measure_quality.py writes benchmark/artifacts/quality_ours.csv).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["run_quality_regression", "COLORS", "color_accuracy",
+           "make_square_images"]
+
+COLORS = {
+    "red": (0.9, 0.1, 0.1),
+    "green": (0.1, 0.9, 0.1),
+    "blue": (0.1, 0.1, 0.9),
+}
+RESOLUTION = 16
+
+
+def make_square_images(colors: List[str], rs: np.random.RandomState,
+                       noise: float = 0.02) -> np.ndarray:
+    out = []
+    for c in colors:
+        img = np.ones((RESOLUTION, RESOLUTION, 3), np.float32) * np.asarray(
+            COLORS[c], np.float32)
+        img += rs.randn(RESOLUTION, RESOLUTION, 3).astype(np.float32) * noise
+        out.append(np.clip(img, 0.0, 1.0))
+    return np.stack(out)
+
+
+def color_accuracy(images: List[np.ndarray], prompts: List[str]) -> float:
+    """Fraction of images whose dominant channel matches the prompted color."""
+    correct = 0
+    for img, prompt in zip(images, prompts):
+        color = next(c for c in COLORS if c in prompt)
+        expected = int(np.argmax(COLORS[color]))
+        got = int(np.argmax(np.asarray(img, np.float32).reshape(-1, 3).mean(0)))
+        correct += int(got == expected)
+    return correct / max(len(images), 1)
+
+
+def _build_stack(seed: int):
+    from ..models.clip_text import CLIPTextEncoder, SimpleTokenizer
+    from ..models.maskgit_vqgan import MaskGitVQGAN
+    from ..models.transformer_v2 import MaskGiTUViT_v2
+
+    vq = MaskGitVQGAN(resolution=RESOLUTION, hidden_channels=32,
+                      channel_mult=(1, 2), num_res_blocks=1, z_channels=16,
+                      num_embeddings=64, quantized_embed_dim=16, seed=seed)
+    text_encoder = CLIPTextEncoder(vocab_size=64, hidden_size=32,
+                                   intermediate_size=64, num_hidden_layers=2,
+                                   num_attention_heads=4,
+                                   max_position_embeddings=8,
+                                   projection_dim=24, seed=seed)
+    tokenizer = SimpleTokenizer(64, 8)
+    model = MaskGiTUViT_v2(
+        hidden_size=64, cond_embed_dim=24, micro_cond_encode_dim=8,
+        micro_cond_embed_dim=40, encoder_hidden_size=32, vocab_size=68,
+        codebook_size=64, in_channels=32, block_out_channels=(32,),
+        num_res_blocks=1, block_num_heads=2, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96, seed=seed)
+    return vq, text_encoder, tokenizer, model
+
+
+def _train_vq(vq, rs, steps: int, lr: float = 3e-3) -> float:
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..training.optimizers import get_optimizer
+
+    tx = get_optimizer("adamw", lr)
+    opt_state = tx.init(vq.params)
+
+    def loss_fn(params, pixels):
+        recon, z_q, _, vq_loss = vq.module.apply({"params": params}, pixels,
+                                                 True)
+        return jnp.mean(jnp.square(recon - pixels)) + vq_loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, pixels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, pixels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, loss = vq.params, None
+    names = list(COLORS)
+    for i in range(steps):
+        pixels = make_square_images([names[j % 3] for j in range(i, i + 6)], rs)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(pixels))
+    vq.params = params
+    vq._jit_cache.clear()
+    return float(loss)
+
+
+def _sample(model, vq, text_encoder, tokenizer, prompts, key,
+            timesteps: int = 6) -> List[np.ndarray]:
+    import jax
+    import jax.numpy as jnp
+
+    seq_len = (RESOLUTION // vq.config.reduction_factor) ** 2
+    images = []
+    for i, prompt in enumerate(prompts):
+        ids = jnp.asarray(tokenizer([prompt])["input_ids"])
+        hs, _, pooled = text_encoder.encode(ids)
+        tokens = model.generate2(
+            hs[-2], pooled,
+            jnp.asarray([[RESOLUTION, RESOLUTION, 0, 0, 6.0]], jnp.float32),
+            empty_embeds=hs[-2], empty_cond_embeds=pooled,
+            timesteps=timesteps, guidance_scale=0.0, temperature=(1.0, 0.0),
+            seq_len=seq_len, key=jax.random.fold_in(key, i))
+        images.append(np.asarray(vq.decode_code(tokens))[0])
+    return images
+
+
+def run_quality_regression(train_steps: int = 200, vq_steps: int = 150,
+                           n_eval: int = 30, seed: int = 0,
+                           log=print) -> Dict[str, float]:
+    """Train tiny stack, generate, score.  Returns measured metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip_text import CLIPTextEncoder, SimpleTokenizer
+    from ..models.clip_vision import CLIPScorer, CLIPVisionEncoder
+    from ..ops.sampling import cosine_schedule
+    from ..training import trainer as T
+    from ..training.optimizers import get_optimizer
+    from .clip_score import clip_score
+    from .fid import CLIPFeatureExtractor, fid_between_image_sets
+
+    rs = np.random.RandomState(seed)
+    vq, text_encoder, tokenizer, model = _build_stack(seed)
+
+    log("stage 1: training VQ tokenizer")
+    recon_loss = _train_vq(vq, rs, vq_steps)
+    log(f"  recon_loss={recon_loss:.4f}")
+
+    names = list(COLORS)
+
+    def batch_for(colors):
+        pixels = make_square_images(colors, rs)
+        tokens = vq.get_code(jnp.asarray(pixels))
+        texts = [f"a {c} square" for c in colors]
+        ids = jnp.asarray(tokenizer(texts)["input_ids"])
+        hs, _, pooled = text_encoder.encode(ids)
+        return {
+            "image_tokens": tokens,
+            "encoder_hidden_states": hs[-2],
+            "cond_embeds": pooled,
+            "micro_conds": jnp.asarray(
+                [[RESOLUTION, RESOLUTION, 0, 0, 6.0]] * len(colors),
+                jnp.float32),
+        }
+
+    log("stage 2: training transformer")
+    # deep-copy init weights BEFORE training: the fused step donates the
+    # state buffers, and we sample the untrained baseline afterwards
+    untrained_params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                              model.params)
+    tx = get_optimizer("adamw", 4e-3, max_grad_norm=1.0)
+    state = T.create_train_state(model.params, tx)
+    step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule,
+                                     model.config.mask_token_id,
+                                     codebook_size=64)
+    key = jax.random.PRNGKey(seed)
+    first_loss = last_loss = None
+    for i in range(train_steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch_for(
+            [names[j % 3] for j in range(i, i + 6)]), sub)
+        if i == 0:
+            first_loss = float(metrics["loss"])
+        last_loss = float(metrics["loss"])
+    log(f"  loss {first_loss:.4f} -> {last_loss:.4f}")
+
+    # held-out real set + prompts (balanced over colors)
+    eval_colors = [names[i % 3] for i in range(n_eval)]
+    prompts = [f"a {c} square" for c in eval_colors]
+    real_images = list(make_square_images(eval_colors,
+                                          np.random.RandomState(seed + 1)))
+
+    log("stage 3: generating trained + untrained sets")
+    gen_key = jax.random.PRNGKey(seed + 2)
+    model.params = state.params
+    model._jit_cache.clear()
+    trained_images = _sample(model, vq, text_encoder, tokenizer, prompts,
+                             gen_key)
+    model.params = untrained_params
+    model._jit_cache.clear()
+    untrained_images = _sample(model, vq, text_encoder, tokenizer, prompts,
+                               gen_key)
+    model.params = state.params
+    model._jit_cache.clear()
+
+    log("stage 4: scoring (FID over seeded CLIP features + CLIP score)")
+    extractor = CLIPFeatureExtractor.seeded(
+        seed=1234, image_size=32, patch_size=8)
+    fid_trained = fid_between_image_sets(real_images, trained_images,
+                                         extractor)
+    fid_untrained = fid_between_image_sets(real_images, untrained_images,
+                                           extractor)
+    acc_trained = color_accuracy(trained_images, prompts)
+    acc_untrained = color_accuracy(untrained_images, prompts)
+
+    scorer = CLIPScorer(
+        CLIPVisionEncoder(hidden_size=64, intermediate_size=128,
+                          num_hidden_layers=4, num_attention_heads=4,
+                          image_size=32, patch_size=8, projection_dim=64,
+                          seed=1234),
+        CLIPTextEncoder(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        max_position_embeddings=8, projection_dim=64,
+                        eos_token_id=63, seed=1234),
+        SimpleTokenizer(64, 8))
+    cs_trained = clip_score(scorer, trained_images, prompts)
+
+    return {
+        "vq_recon_loss": recon_loss,
+        "train_loss_first": first_loss,
+        "train_loss_last": last_loss,
+        "fid_clipfeat_seeded_trained": fid_trained,
+        "fid_clipfeat_seeded_untrained": fid_untrained,
+        "color_accuracy_trained": acc_trained,
+        "color_accuracy_untrained": acc_untrained,
+        "clip_score_seeded_trained": cs_trained,
+        "n_eval": float(n_eval),
+        "train_steps": float(train_steps),
+    }

@@ -215,7 +215,12 @@ class CLIPTextEncoder(ModelMixin):
         with open(os.path.join(path, "config.json")) as f:
             hf_cfg = json.load(f)
         if "text_config" in hf_cfg:
-            hf_cfg = hf_cfg["text_config"]
+            # full-CLIPModel config: top-level projection_dim governs
+            # text_projection (the nested default of 512 is unused)
+            proj = hf_cfg.get("projection_dim")
+            hf_cfg = dict(hf_cfg["text_config"])
+            if proj is not None:
+                hf_cfg["projection_dim"] = proj
         cfg, _ = CLIPTextConfig.from_dict(hf_cfg)
         model = cls(config=cfg, _defer_init=True, dtype=dtype)
 

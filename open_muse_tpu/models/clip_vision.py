@@ -186,10 +186,13 @@ class CLIPVisionEncoder(ModelMixin):
         with open(os.path.join(path, "config.json")) as f:
             hf_cfg = json.load(f)
         if "vision_config" in hf_cfg:
+            # a full CLIPModel config: its TOP-LEVEL projection_dim governs
+            # visual_projection (the nested vision_config carries an unused
+            # default of 512)
             proj = hf_cfg.get("projection_dim")
             hf_cfg = dict(hf_cfg["vision_config"])
             if proj is not None:
-                hf_cfg.setdefault("projection_dim", proj)
+                hf_cfg["projection_dim"] = proj
         cfg, _ = CLIPVisionConfig.from_dict(hf_cfg)
         model = cls(config=cfg, _defer_init=True, dtype=dtype)
 

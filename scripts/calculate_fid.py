@@ -46,17 +46,50 @@ def generate_and_save_images(pipe, captions, output_dir, batch_size, timesteps,
           f"({len(captions) / max(dt, 1e-9):.2f} img/s)")
 
 
-def compute_fid(real_dir: str, fake_dir: str):
+def compute_fid(real_dir: str, fake_dir: str, clip_model: str = None):
+    """Score fake_dir against real_dir.  Backend priority:
+    cleanfid (Inception, the reference protocol) > in-repo CLIP-FID with real
+    weights (--clip-model) > in-repo seeded-extractor regression number
+    (clearly labeled; deterministic but NOT a published metric)."""
     try:
         from cleanfid import fid
 
         score = fid.compute_fid(real_dir, fake_dir)
-        print(json.dumps({"fid": score}))
+        print(json.dumps({"fid": score, "backend": "cleanfid"}))
         return score
     except ImportError:
-        print("cleanfid not installed; images generated — score offline with "
-              "`python -m cleanfid` on another machine", file=sys.stderr)
-        return None
+        pass
+    from open_muse_tpu.eval.fid import CLIPFeatureExtractor, fid_between_dirs
+
+    if clip_model:
+        from open_muse_tpu.models.clip_vision import CLIPVisionEncoder
+
+        extractor = CLIPFeatureExtractor(
+            CLIPVisionEncoder.from_pretrained(clip_model))
+        backend = f"clip_fid({clip_model})"
+    else:
+        extractor = CLIPFeatureExtractor.seeded(seed=1234)
+        backend = "clipfeat_seeded(NOT a published metric; deterministic)"
+        print("cleanfid not installed and no --clip-model given; scoring "
+              "with a seeded extractor — regression number only",
+              file=sys.stderr)
+    score = fid_between_dirs(real_dir, fake_dir, extractor)
+    print(json.dumps({"fid": score, "backend": backend}))
+    return score
+
+
+def compute_clip_score(fake_dir: str, captions, clip_model: str):
+    """Mean CLIP score of generated images vs their captions (the metric
+    behind the reference's CLIP-vs-CFG curves, benchmark/model_quality.py)."""
+    from open_muse_tpu.eval.clip_score import clip_score
+    from open_muse_tpu.eval.fid import load_image_dir
+    from open_muse_tpu.models.clip_vision import CLIPScorer
+
+    scorer = CLIPScorer.from_pretrained(clip_model)
+    images = load_image_dir(fake_dir, limit=len(captions))
+    score = clip_score(scorer, images, captions[: len(images)])
+    print(json.dumps({"clip_score": score, "n_images": len(images)}))
+    return score
 
 
 def main(argv=None):
@@ -72,6 +105,11 @@ def main(argv=None):
     parser.add_argument("--guidance-scale", type=float, default=8.0)
     parser.add_argument("--task-id", type=int, default=0)
     parser.add_argument("--num-tasks", type=int, default=1)
+    parser.add_argument("--clip-model", default=None,
+                        help="CLIP checkpoint dir: enables CLIP-FID fallback "
+                             "and --clip-score")
+    parser.add_argument("--clip-score", action="store_true",
+                        help="also report mean CLIP score vs captions")
     args = parser.parse_args(argv)
 
     from open_muse_tpu.pipelines.pipeline_muse import PipelineMuse
@@ -83,16 +121,22 @@ def main(argv=None):
     else:
         with open(args.captions) as f:
             captions = [line.strip() for line in f if line.strip()]
-    captions = captions[: args.num_images]
+    all_captions = captions[: args.num_images]
     # per-task shard (reference SLURM sharding, calculate_fid.py:74-142)
-    captions = captions[args.task_id::args.num_tasks]
+    captions = all_captions[args.task_id::args.num_tasks]
 
-    pipe = PipelineMuse.from_pretrained(args.model)
-    generate_and_save_images(pipe, captions, args.output_dir, args.batch_size,
-                             args.timesteps, args.guidance_scale, seed=args.task_id)
+    if captions:
+        pipe = PipelineMuse.from_pretrained(args.model)
+        generate_and_save_images(pipe, captions, args.output_dir,
+                                 args.batch_size, args.timesteps,
+                                 args.guidance_scale, seed=args.task_id)
 
     if args.real_dir and args.num_tasks == 1:
-        compute_fid(args.real_dir, args.output_dir)
+        compute_fid(args.real_dir, args.output_dir, clip_model=args.clip_model)
+    if args.clip_score:
+        if not args.clip_model:
+            parser.error("--clip-score needs --clip-model")
+        compute_clip_score(args.output_dir, all_captions, args.clip_model)
 
 
 if __name__ == "__main__":

@@ -152,3 +152,126 @@ def test_model_quality_summary():
     cfg, fid = best("fid", "muse-256")
     assert fid == pytest.approx(39.30)
     assert cfg == 4
+
+
+def _stage_tiny_clip_dir(tmp_path):
+    """Full HF CLIPModel checkpoint dir (config.json + pytorch_model.bin)."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPConfig, CLIPModel
+
+    cfg = CLIPConfig(
+        text_config=dict(vocab_size=100, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         max_position_embeddings=16, eos_token_id=99,
+                         bos_token_id=98, hidden_act="quick_gelu"),
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=28, patch_size=7,
+                           hidden_act="quick_gelu"),
+        projection_dim=24)
+    torch.manual_seed(0)
+    ref = CLIPModel(cfg)
+    clip_dir = tmp_path / "clip"
+    clip_dir.mkdir()
+    with open(clip_dir / "config.json", "w") as f:
+        f.write(cfg.to_json_string())
+    torch.save(ref.state_dict(), clip_dir / "pytorch_model.bin")
+    return str(clip_dir)
+
+
+def test_gen_synthetic_best_of_n_roundtrip(tmp_path):
+    """VERDICT round-2 item 3: generated shard -> sdxl_synthetic dataset map
+    -> the TRAINING image is the argmax-CLIP-score candidate, not index 0."""
+    import sys
+    import tarfile as _tar
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    from test_clip_and_pipeline import (CLIP_TINY, UVIT_TINY, VAE_TINY,
+                                        DummyTokenizer)
+
+    from open_muse_tpu.models.clip_text import CLIPTextEncoder
+    from open_muse_tpu.models.clip_vision import CLIPScorer
+    from open_muse_tpu.models.maskgit_vqgan import MaskGitVQGAN
+    from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+    from open_muse_tpu.pipelines.pipeline_muse import PipelineMuse
+    from open_muse_tpu.training.data import sdxl_synthetic_dataset_map
+    from scripts.gen_synthetic_dataset import main as gen_main
+
+    pipe = PipelineMuse(vae=MaskGitVQGAN(**VAE_TINY),
+                        transformer=MaskGiTUViT_v2(**UVIT_TINY),
+                        text_encoder=CLIPTextEncoder(**CLIP_TINY),
+                        tokenizer=DummyTokenizer())
+    pipe_dir = tmp_path / "pipe"
+    pipe.save_pretrained(str(pipe_dir))
+    clip_dir = _stage_tiny_clip_dir(tmp_path)
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a red square\na blue circle\n")
+    out_pattern = str(tmp_path / "shards" / "syn-%05d.tar")
+
+    # loud failure without a scorer
+    with pytest.raises(SystemExit):
+        gen_main(["--model", str(pipe_dir), "--prompts", str(prompts),
+                  "--output", out_pattern, "--candidates", "3",
+                  "--timesteps", "2"])
+
+    gen_main(["--model", str(pipe_dir), "--prompts", str(prompts),
+              "--output", out_pattern, "--candidates", "3",
+              "--clip-model", clip_dir, "--timesteps", "2"])
+
+    shard = out_pattern % 0
+    raw = {}
+    with _tar.open(shard) as tf:
+        for m in tf.getmembers():
+            key, ext = m.name.split(".", 1)
+            raw.setdefault(key, {"__key__": key})[ext] = tf.extractfile(m).read()
+    assert set(raw) == {"00000000", "00000001"}
+    for key, sample in raw.items():
+        assert {"0.png", "1.png", "2.png", "txt", "clip_scores.txt"} <= set(sample)
+        scores = [float(x) for x in sample["clip_scores.txt"].decode().split(",")]
+        assert len(scores) == 3
+        mapped = sdxl_synthetic_dataset_map(sample)
+        best = int(np.argmax(scores))
+        assert mapped["png"] == sample[f"{best}.png"]
+        # the written scores must MATCH a recomputation with the same scorer
+        # (i.e. selection is by real CLIP scoring, not a placeholder)
+        import io as _io
+
+        from PIL import Image
+
+        scorer = CLIPScorer.from_pretrained(clip_dir)
+        imgs = [Image.open(_io.BytesIO(sample[f"{i}.png"])) for i in range(3)]
+        recomputed = scorer.score(imgs, [sample["txt"].decode()])[:, 0]
+        np.testing.assert_allclose(scores, recomputed, atol=1e-3)
+
+
+def test_calculate_fid_scoring_backends(tmp_path, capsys):
+    """compute_fid falls back to in-repo scoring when cleanfid is absent:
+    CLIP-FID with --clip-model, seeded extractor without; compute_clip_score
+    reports a mean CLIP score (VERDICT round-2 item 1 scoring half)."""
+    from PIL import Image
+
+    from scripts.calculate_fid import compute_clip_score, compute_fid
+
+    real, fake = tmp_path / "real", tmp_path / "fake"
+    real.mkdir(), fake.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(6):
+        Image.fromarray((rs.rand(32, 32, 3) * 100).astype(np.uint8)).save(
+            real / f"{i}.png")
+        Image.fromarray((rs.rand(32, 32, 3) * 100 + 120).astype(
+            np.uint8)).save(fake / f"{i}.png")
+
+    seeded = compute_fid(str(real), str(fake))
+    assert np.isfinite(seeded) and seeded > 0
+    out = capsys.readouterr()
+    assert "seeded" in out.out  # labeled as the non-published fallback
+
+    clip_dir = _stage_tiny_clip_dir(tmp_path)
+    clip_fid = compute_fid(str(real), str(fake), clip_model=clip_dir)
+    assert np.isfinite(clip_fid) and clip_fid > 0
+    assert "clip_fid" in capsys.readouterr().out
+
+    score = compute_clip_score(str(fake), [f"caption {i}" for i in range(6)],
+                               clip_dir)
+    assert np.isfinite(score) and 0 <= score <= 100
