@@ -1,15 +1,28 @@
 """Benchmark sweep: wall-clock latency across batch/steps/resolution configs.
 
 Reference parity: benchmark/muse_perf.py — sweeps batch {1,8} x timesteps
-{12,20} x resolution {256,512} for muse and writes ``artifacts/all.csv`` with
-the same header schema (:41-239, 533-546); the GPU comparators (SD1.5/SDXL/
-würstchen/LCM via diffusers) do not exist on TPU and their published A100
-numbers live in BASELINE.md for comparison.
+{12,20} x resolution {256,512} for muse and writes ``artifacts/all.csv``
+(:41-239, 533-546).  The GPU comparators (SD1.5/SDXL/SSD-1B via diffusers)
+cannot run on a TPU host, so their PUBLISHED A100/4090 rows (from the
+reference's committed artifact, see BASELINE.md) are merged into the same CSV
+with device "... (published)" so one file tells the comparison story.
 
-Timing note: through the remote-device tunnel, per-call block_until_ready can
-return early, so we time N dependent dispatches forced once (see bench.py).
+Timing: through the remote-device tunnel per-call ``block_until_ready`` can
+return early and a single stalled dispatch can poison a mean (round-2 verdict:
+a 1780 ms headline row next to a 79 ms 20-step row).  We therefore time
+CHAINS of dependent dispatches forced once per chain, take the median across
+chains, and discard chains > 3x that median as tunnel stalls before the final
+median.  The sweep then asserts internal consistency (12-step <= 20-step per
+config) and fails loudly instead of committing garbage.
 
-Usage: python benchmark/muse_perf.py [--device tpu] [--out benchmark/artifacts/all.csv]
+FLOPs: derived from XLA's compiled-executable cost analysis per component
+(transformer forward x timesteps + text encode + VQ decode) when the backend
+exposes it — this covers convs and O(S^2) attention.  If unavailable, an
+analytic matmul-dominant LOWER BOUND is used.  Either way the utilization
+column is named ``mfu_est_pct`` and ``flops_source`` records which path
+produced it.
+
+Usage: python benchmark/muse_perf.py [--fresh] [--out benchmark/artifacts/all.csv]
 """
 
 from __future__ import annotations
@@ -26,10 +39,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CSV_FIELDS = ["model", "resolution", "batch_size", "timesteps", "use_xformers",
               "use_fused_residual_norm", "device", "median_ms", "imgs_per_sec",
-              "peak_mem_gb", "tflops_per_call", "mfu_pct"]
+              "peak_mem_gb", "tflops_per_call_est", "mfu_est_pct",
+              "flops_source"]
 
 # TPU v5e (v5 lite) peak bf16 throughput per chip
 PEAK_TFLOPS = {"TPU v5 lite": 197.0}
+
+# Published rows from the reference's committed artifact
+# (/root/reference/benchmark/artifacts/all.csv, summarized in BASELINE.md) —
+# best setting per config (fp16 + xformers + fused norm where applicable).
+PUBLISHED_ROWS = [
+    # model, resolution, batch, steps, device, median_ms, peak_mem_gb
+    ("muse", 256, 1, 12, "A100 (published)", 474.0, 1.97),
+    ("muse", 256, 1, 20, "A100 (published)", 762.0, 1.97),
+    ("muse", 256, 8, 12, "A100 (published)", 601.8, 3.02),
+    ("muse", 512, 1, 12, "A100 (published)", 538.5, 2.43),
+    ("muse", 512, 8, 12, "A100 (published)", 1004.5, 6.66),
+    ("muse", 256, 1, 12, "RTX 4090 (published)", 199.0, ""),
+    ("muse", 256, 8, 12, "RTX 4090 (published)", 454.1, ""),
+    ("muse", 512, 1, 12, "RTX 4090 (published)", 235.8, ""),
+    ("muse", 512, 8, 12, "RTX 4090 (published)", 763.3, ""),
+    ("stable_diffusion_1_5", 512, 1, 12, "A100 (published)", 479.1, ""),
+    ("sdxl", 1024, 1, 12, "A100 (published)", 1732.2, ""),
+    ("ssd_1b", 1024, 1, 12, "A100 (published)", 1210.9, ""),
+]
+
+
+def published_rows():
+    rows = []
+    for model, res, bs, steps, device, ms, mem in PUBLISHED_ROWS:
+        rows.append({
+            "model": model, "resolution": res, "batch_size": bs,
+            "timesteps": steps, "use_xformers": "published",
+            "use_fused_residual_norm": "published", "device": device,
+            "median_ms": ms, "imgs_per_sec": round(bs / (ms / 1000), 2),
+            "peak_mem_gb": mem, "tflops_per_call_est": "",
+            "mfu_est_pct": "", "flops_source": ""})
+    return rows
 
 
 def build(resolution: int, dtype):
@@ -55,8 +101,58 @@ def build(resolution: int, dtype):
     return transformer, text_encoder, vae, seq_len
 
 
+def _xla_flops(fn, *args):
+    """FLOPs of one call from the compiled executable's cost analysis, or
+    None when the backend doesn't expose it."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def component_flops(transformer, text_encoder, vae, seq_len, batch_size):
+    """Per-component FLOPs from cost analysis: (per_step, fixed, source).
+    per_step = one CFG-batched transformer forward; fixed = text encode
+    (cond+empty) + VQ decode.  Falls back to an analytic matmul-dominant
+    LOWER BOUND (trunk tokens only; convs and O(S^2) attention excluded)."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    b2 = 2 * batch_size  # CFG doubles the batch inside the decode loop
+    hs = transformer.config.encoder_hidden_size
+    ids = jnp.asarray(rs.randint(0, 100, (b2, seq_len)), jnp.int32)
+    ehs = jnp.zeros((b2, 77, hs), jnp.float32)
+    cond = jnp.zeros((b2, hs), jnp.float32)
+    micro = jnp.zeros((b2, 5), jnp.float32)
+
+    fwd = _xla_flops(
+        lambda i, e, c, m: transformer.module.apply(
+            {"params": transformer.params}, i, e, c, m), ids, ehs, cond, micro)
+    te_ids = jnp.zeros((b2, 77), jnp.int32)
+    te = _xla_flops(
+        lambda i: text_encoder.module.apply(
+            {"params": text_encoder.params}, i), te_ids)
+    codes = jnp.asarray(rs.randint(0, 100, (batch_size, seq_len)), jnp.int32)
+    vq = _xla_flops(
+        lambda c: vae.module.apply({"params": vae.params}, c,
+                                   method=type(vae.module).decode_code), codes)
+    if fwd is not None:
+        return fwd, (te or 0.0) + (vq or 0.0), "xla-cost-analysis"
+    trunk_tokens = 256
+    per_step = 2 * transformer.num_parameters() * b2 * trunk_tokens
+    fixed = 2 * text_encoder.num_parameters() * b2 * 77
+    return per_step, fixed, "analytic-matmul-lb"
+
+
 def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
-             iters: int = 12):
+             iters: int = 4, chains: int = 5):
     import jax
     import jax.numpy as jnp
 
@@ -84,46 +180,58 @@ def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
     # routinely pays extra RTT that poisons small-iters medians
     float(jnp.sum(call(input_ids, micro, jax.random.fold_in(key, 999))))
 
-    # Analytic FLOP count for the MFU column.  XLA's cost_analysis counts the
-    # decode while-loop BODY once regardless of trip count, so it can't be
-    # used directly; this is the matmul-dominant lower bound: per decode step
-    # one CFG-batched (2B) transformer forward at the trunk sequence length,
-    # plus one text-encoder forward over [cond|empty] prompts.  (VQ decode
-    # and the O(S^2) attention terms are excluded -> MFU is a lower bound.)
-    trunk_tokens = 256  # 256px f16 trunk; 512px force_down_up_sample -> 16x16
-    p_t = transformer.num_parameters()
-    p_te = text_encoder.num_parameters()
-    flops = (timesteps * 2 * p_t * (2 * batch_size) * trunk_tokens
-             + 2 * p_te * (2 * batch_size) * 77)
-
     # static peak-memory estimate from the compiled program
     # (device.memory_stats() is unavailable through the tunnel backend)
-    peak_gb_static = ""
+    peak_gb = ""
     try:
         mem = call.lower(input_ids, micro, key).compile().memory_analysis()
-        peak_gb_static = round(
+        peak_gb = round(
             (mem.argument_size_in_bytes + mem.output_size_in_bytes
              + mem.temp_size_in_bytes) / 1e9, 2)
     except Exception:
         pass
-    acc = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        acc = acc + jnp.sum(call(input_ids, micro, jax.random.fold_in(key, i)))
-    float(acc)
-    total = (time.perf_counter() - t0) * 1000
-    median_ms = total / iters
-    # peak device memory (reference measure_max_memory_allocated,
-    # benchmark/muse_perf.py:533-542); live stats when the backend exposes
-    # them, else the compiled program's static analysis from above
-    peak_gb = peak_gb_static
     try:
         stats = jax.local_devices()[0].memory_stats()
         if stats:
             peak_gb = round(stats.get("peak_bytes_in_use", 0) / 1e9, 2)
     except Exception:
         pass
-    return median_ms, batch_size / (median_ms / 1000), peak_gb, flops
+
+    # chained timing with stall discard (see module docstring)
+    chain_ms = []
+    for c in range(chains):
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            acc = acc + jnp.sum(call(input_ids, micro,
+                                     jax.random.fold_in(key, c * 1000 + i)))
+        float(acc)
+        chain_ms.append((time.perf_counter() - t0) * 1000 / iters)
+    med = float(np.median(chain_ms))
+    kept = [t for t in chain_ms if t <= 3 * med]
+    dropped = len(chain_ms) - len(kept)
+    if dropped:
+        print(f"  discarded {dropped}/{chains} chains as tunnel stalls "
+              f"(median {med:.1f} ms, all: {[round(t, 1) for t in chain_ms]})")
+    median_ms = float(np.median(kept))
+    return median_ms, batch_size / (median_ms / 1000), peak_gb
+
+
+def validate_rows(rows):
+    """Internal consistency: more decode steps can't be faster.  Returns a
+    list of violation strings (empty = consistent)."""
+    by_config = {}
+    for r in rows:
+        key = (r["model"], r["device"], int(r["resolution"]),
+               int(r["batch_size"]))
+        by_config.setdefault(key, {})[int(r["timesteps"])] = float(r["median_ms"])
+    problems = []
+    for key, steps in by_config.items():
+        ordered = sorted(steps.items())
+        for (s1, ms1), (s2, ms2) in zip(ordered, ordered[1:]):
+            if ms1 > ms2:
+                problems.append(f"{key}: {s1}-step {ms1} ms > {s2}-step {ms2} ms")
+    return problems
 
 
 def main(argv=None):
@@ -133,9 +241,14 @@ def main(argv=None):
     parser.add_argument("--resolutions", type=int, nargs="+", default=[256, 512])
     parser.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8])
     parser.add_argument("--timesteps", type=int, nargs="+", default=[12, 20])
-    parser.add_argument("--iters", type=int, default=6)
+    parser.add_argument("--iters", type=int, default=4,
+                        help="dispatches per timing chain")
+    parser.add_argument("--chains", type=int, default=5,
+                        help="independent timing chains (median + stall discard)")
     parser.add_argument("--fresh", action="store_true",
                         help="overwrite the CSV instead of appending")
+    parser.add_argument("--no-published", action="store_true",
+                        help="skip merging the published baseline rows")
     args = parser.parse_args(argv)
 
     import jax
@@ -154,36 +267,52 @@ def main(argv=None):
     writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
     if write_header:
         writer.writeheader()
+    measured = []
     for resolution in args.resolutions:
         transformer, text_encoder, vae, seq_len = build(resolution, jnp.bfloat16)
         for batch_size in args.batch_sizes:
+            flops_parts = None
             for steps in args.timesteps:
                 try:
-                    ms, imgs, peak_gb, flops = run_case(
+                    ms, imgs, peak_gb = run_case(
                         transformer, text_encoder, vae, seq_len, batch_size,
-                        steps, iters=args.iters)
+                        steps, iters=args.iters, chains=args.chains)
+                    if flops_parts is None:  # one compile set per batch size
+                        flops_parts = component_flops(
+                            transformer, text_encoder, vae, seq_len, batch_size)
                 except Exception as e:  # keep sweeping past transient failures
                     print(f"case res={resolution} bs={batch_size} steps={steps} "
                           f"failed: {e}")
                     continue
-                tflops = round(flops / 1e12, 3) if flops else ""
-                mfu = ""
-                if flops and device in PEAK_TFLOPS:
-                    mfu = round(100 * (flops / 1e12) / (ms / 1e3)
-                                / PEAK_TFLOPS[device], 1)
+                per_step, fixed, source = flops_parts
+                total_flops = steps * per_step + fixed
                 row = {"model": "muse_tpu", "resolution": resolution,
                        "batch_size": batch_size, "timesteps": steps,
-                       "use_xformers": "n/a", "use_fused_residual_norm": "xla-fused",
+                       "use_xformers": "n/a",
+                       "use_fused_residual_norm": "xla-fused",
                        "device": device, "median_ms": round(ms, 1),
                        "imgs_per_sec": round(imgs, 2), "peak_mem_gb": peak_gb,
-                       "tflops_per_call": tflops, "mfu_pct": mfu}
+                       "tflops_per_call_est": round(total_flops / 1e12, 3),
+                       "mfu_est_pct": "", "flops_source": source}
+                if device in PEAK_TFLOPS:
+                    row["mfu_est_pct"] = round(
+                        100 * (total_flops / 1e12) / (ms / 1e3)
+                        / PEAK_TFLOPS[device], 1)
                 writer.writerow(row)
+                measured.append(row)
                 f.flush()
                 print(row)
         del transformer, text_encoder, vae
+    if not args.no_published and write_header:
+        for row in published_rows():
+            writer.writerow(row)
     f.close()
+    problems = validate_rows(measured)
+    for p in problems:
+        print(f"INCONSISTENT: {p}", file=sys.stderr)
     print(f"wrote {args.out}")
+    return 1 if problems else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

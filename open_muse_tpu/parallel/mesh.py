@@ -45,12 +45,36 @@ def create_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host DCN initialization (replaces torch.distributed.run c10d
-    rendezvous, slurm_scripts/research_run_512.slurm:43-51).  No-op when
-    running single-process."""
+    rendezvous, slurm_scripts/research_run_512.slurm:43-51).
+
+    Called by every trainer CLI at startup.  Explicit args win; otherwise the
+    MUSE_COORDINATOR_ADDRESS / MUSE_NUM_PROCESSES / MUSE_PROCESS_ID env vars
+    (exported per-worker by tpu_scripts/launch_pod.sh) drive the rendezvous.
+    No-op single-process so single-host runs need no env.  Returns True when
+    the cluster was initialized."""
+    import os
+
+    if num_processes is None:
+        num_processes = int(os.environ.get("MUSE_NUM_PROCESSES", "1"))
     if num_processes is None or num_processes <= 1:
-        return
+        # TPU pod: jax.distributed.initialize() with NO args discovers the
+        # topology from the TPU metadata server.  Opt in explicitly
+        # (MUSE_AUTO_DISTRIBUTED=1, exported by tpu_scripts/launch_pod.sh) or
+        # implicitly when the pod env markers are present.
+        if os.environ.get("MUSE_AUTO_DISTRIBUTED") == "1" or \
+                "TPU_WORKER_HOSTNAMES" in os.environ:
+            jax.distributed.initialize()
+            return True
+        return False
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("MUSE_COORDINATOR_ADDRESS")
+    if process_id is None:
+        pid = os.environ.get("MUSE_PROCESS_ID")
+        process_id = int(pid) if pid is not None else None
     jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes, process_id=process_id)
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

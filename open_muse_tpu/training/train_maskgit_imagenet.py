@@ -28,7 +28,7 @@ def main(argv=None):
 
     from ..models.transformer_v1 import MaskGitTransformer
     from ..ops.sampling import get_mask_schedule
-    from ..parallel.mesh import create_mesh
+    from ..parallel.mesh import create_mesh, initialize_distributed
     from ..utils import logging as mlog
     from ..utils.config import flatten_config, load_config
     from ..utils.training_utils import AverageMeter, set_seed
@@ -38,6 +38,9 @@ def main(argv=None):
     from .optimizers import get_optimizer
     from .train_muse import MetricsTracker, get_vq_model_class, save_image_grid
 
+
+    # multi-host DCN bring-up (env-driven; no-op single-host)
+    initialize_distributed()
     config = load_config(argv if argv is not None else sys.argv[1:])
     logger = mlog.get_logger(__name__)
     mlog.set_verbosity_for_process()

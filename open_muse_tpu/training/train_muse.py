@@ -142,7 +142,8 @@ def main(argv=None):
     from ..models.clip_text import CLIPTextEncoder
     from ..models.transformer_v2 import MaskGiTUViT_v2
     from ..ops.sampling import get_mask_schedule
-    from ..parallel.mesh import create_mesh, local_batch_slice, put_batch
+    from ..parallel.mesh import (create_mesh, initialize_distributed,
+                                 local_batch_slice, put_batch)
     from ..utils import logging as mlog
     from ..utils.config import flatten_config, load_config
     from ..utils.training_utils import AverageMeter, set_seed
@@ -151,10 +152,18 @@ def main(argv=None):
     from .lr_schedules import get_scheduler
     from .optimizers import get_optimizer
 
+    # multi-host DCN bring-up BEFORE any jax device query (env-driven; no-op
+    # single-host) — the analog of accelerate's torchrun rendezvous
+    initialize_distributed()
+
     config = load_config(argv if argv is not None else sys.argv[1:])
     logger = mlog.get_logger(__name__)
     mlog.set_verbosity_for_process()
     is_main = jax.process_index() == 0
+    if jax.process_count() > 1:
+        logger.info(f"multihost: process {jax.process_index()} of "
+                    f"{jax.process_count()}, {jax.local_device_count()} local "
+                    f"/ {jax.device_count()} global devices")
 
     seed = config.training.get("seed", 42)
     rng_key = set_seed(seed)

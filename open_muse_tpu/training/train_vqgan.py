@@ -32,7 +32,11 @@ def main(argv=None):
     from .data import Text2ImageDataset
     from .lr_schedules import get_scheduler
     from .optimizers import get_optimizer
+    from ..parallel.mesh import initialize_distributed
     from .train_muse import MetricsTracker, get_vq_model_class, save_image_grid
+
+    # multi-host DCN bring-up (env-driven; no-op single-host)
+    initialize_distributed()
 
     config = load_config(argv if argv is not None else sys.argv[1:])
     logger = mlog.get_logger(__name__)

@@ -45,3 +45,23 @@ def import_reference_muse():
     import muse  # noqa: F401
 
     return muse
+
+
+# -- test tiering -------------------------------------------------------------
+# fast  : <2-minute core gate (config/schema/sampling/masking/losses/
+#         launcher-dry-run/data utils) -> `pytest -m fast`
+# (none): default tier incl. torch parity + multidevice GSPMD
+# slow  : long-haul learning/regression tests -> nightly
+FAST_MODULES = {
+    "test_configs", "test_sampling", "test_losses", "test_tpu_scripts",
+    "test_utils_and_data",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in FAST_MODULES \
+                and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

@@ -13,6 +13,7 @@ from open_muse_tpu.eval.fid import (CLIPFeatureExtractor, compute_statistics,
                                     frechet_distance)
 
 
+@pytest.mark.fast
 def test_frechet_analytic_gaussians():
     """FID between N(mu1, s1^2 I) and N(mu2, s2^2 I) has a closed form:
     |mu1-mu2|^2 + d*(s1^2 + s2^2 - 2 s1 s2)."""
@@ -24,6 +25,7 @@ def test_frechet_analytic_gaussians():
     np.testing.assert_allclose(got, expected, rtol=1e-9)
 
 
+@pytest.mark.fast
 def test_frechet_identical_is_zero():
     rs = np.random.RandomState(0)
     feats = rs.randn(64, 8)
@@ -31,6 +33,7 @@ def test_frechet_identical_is_zero():
     assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
 
 
+@pytest.mark.fast
 def test_frechet_matches_empirical_separation():
     """Two samples from the same distribution score far lower than samples
     from shifted distributions."""

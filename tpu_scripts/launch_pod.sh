@@ -30,11 +30,13 @@ echo ">> building native IO library on all hosts"
 tpu_ssh "${TPU_NAME}" "${ZONE}" all "make -C ~/muse-tpu/native -s"
 
 echo ">> launching training on all hosts"
-# jax.distributed.initialize() auto-detects coordinator/process count on TPU
-# pods; per-host shard splitting happens inside the data pipeline
+# MUSE_AUTO_DISTRIBUTED=1 makes the trainer call jax.distributed.initialize()
+# (no-arg pod auto-detect) via parallel/mesh.py initialize_distributed();
+# per-host shard splitting happens inside the data pipeline
 # (open_muse_tpu/training/data.py ShardSource).
 tpu_ssh "${TPU_NAME}" "${ZONE}" all \
-    "cd ~/muse-tpu && nohup python -m open_muse_tpu.training.train_muse \
+    "cd ~/muse-tpu && MUSE_AUTO_DISTRIBUTED=1 nohup python -m \
+        open_muse_tpu.training.train_muse \
         config=${CONFIG} ${OVERRIDES} > train_\$(hostname).log 2>&1 &"
 
 echo ">> launched. tail logs with:"
