@@ -63,10 +63,30 @@ def plot(out_path: str = "benchmark/artifacts/model_quality.png"):
     return out_path
 
 
+def load_measured(path: str = "benchmark/artifacts/quality_ours.csv"):
+    """THIS framework's measured quality rows (written by
+    benchmark/measure_quality.py); [] when the artifact doesn't exist."""
+    import csv
+    import os
+
+    if not os.path.isfile(path):
+        return []
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
 if __name__ == "__main__":
     for model in CURVES:
         summary = {m: best(m, model) for m in ("fid", "clip", "isc")}
-        print(model, json.dumps(summary))
+        print(model, json.dumps(summary), "(reference published curves)")
+    measured = load_measured()
+    if measured:
+        print("-- measured by THIS framework (benchmark/measure_quality.py):")
+        for row in measured:
+            print(f"  {row['protocol']} {row['metric']}={row['value']} "
+                  f"[{row['extractor']}]")
+    else:
+        print("no measured artifact yet — run benchmark/measure_quality.py")
     try:
         print("plot:", plot())
     except ImportError:

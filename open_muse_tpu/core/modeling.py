@@ -30,9 +30,34 @@ from .convert import (
     unflatten_dict,
 )
 
-__all__ = ["ModelMixin"]
+__all__ = ["ModelMixin", "resolve_pretrained_path"]
 
 FLAX_WEIGHTS_NAME = "flax_model.safetensors"
+
+
+def resolve_pretrained_path(name_or_path: str) -> str:
+    """Local dir -> itself; otherwise treat as a hub repo id (the reference
+    downloads from the HF hub inside from_pretrained, modeling_utils.py:141-
+    226: checkpoints like openMUSE/muse-512 / williamberman/*) and fetch a
+    snapshot via huggingface_hub.  Offline environments get a clear error
+    instead of a stack of connection retries."""
+    if os.path.isdir(name_or_path):
+        return name_or_path
+    looks_like_repo = name_or_path.count("/") <= 1 and not \
+        name_or_path.startswith((".", "/", "~"))
+    if not looks_like_repo:
+        raise EnvironmentError(f"{name_or_path} is not a local directory")
+    try:
+        from huggingface_hub import snapshot_download
+
+        return snapshot_download(repo_id=name_or_path)
+    except Exception as e:  # network-gated: offline -> actionable message
+        raise EnvironmentError(
+            f"{name_or_path!r} is not a local directory and downloading it "
+            f"from the HF hub failed ({type(e).__name__}: {e}). Stage the "
+            f"checkpoint locally (scripts/stage_reference_checkpoint.py "
+            f"documents the expected layout) or retry with network access."
+        ) from e
 TORCH_WEIGHTS_NAMES = ("model.safetensors", "pytorch_model.bin", "diffusion_pytorch_model.bin")
 
 
@@ -177,7 +202,7 @@ class ModelMixin(ConfigMixin):
     @classmethod
     def from_pretrained(cls, pretrained_model_name_or_path: str, subfolder: str = None,
                         dtype=jnp.float32, **config_overrides):
-        path = pretrained_model_name_or_path
+        path = resolve_pretrained_path(pretrained_model_name_or_path)
         if subfolder is not None:
             path = os.path.join(path, subfolder)
         config_dict = load_config_dict(path)

@@ -180,7 +180,9 @@ class CLIPVisionEncoder(ModelMixin):
         import json
         import os
 
-        path = pretrained_model_name_or_path
+        from ..core.modeling import resolve_pretrained_path
+
+        path = resolve_pretrained_path(pretrained_model_name_or_path)
         if subfolder is not None:
             path = os.path.join(path, subfolder)
         with open(os.path.join(path, "config.json")) as f:

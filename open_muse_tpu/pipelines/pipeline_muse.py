@@ -306,6 +306,11 @@ class PipelineMuse:
                 raise ValueError(
                     "Provide model_name_or_path or explicit component paths.")
         else:
+            from ..core.modeling import resolve_pretrained_path
+
+            # hub ids (openMUSE/*, williamberman/*) download when network
+            # exists; local dirs pass through (reference pipeline_muse.py:254)
+            model_name_or_path = resolve_pretrained_path(model_name_or_path)
             text_encoder_path = text_encoder_path or os.path.join(
                 model_name_or_path, "text_encoder")
             vae_path = vae_path or os.path.join(model_name_or_path, "vae")
