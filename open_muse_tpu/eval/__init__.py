@@ -7,6 +7,8 @@ generate->score loop runs as one JAX stack on TPU hosts."""
 from .fid import (CLIPFeatureExtractor, compute_statistics, fid_between_dirs,
                   fid_between_image_sets, frechet_distance)
 from .clip_score import clip_score
+from .inception_score import inception_score, inception_score_from_logits
 
 __all__ = ["frechet_distance", "compute_statistics", "fid_between_dirs",
-           "fid_between_image_sets", "CLIPFeatureExtractor", "clip_score"]
+           "fid_between_image_sets", "CLIPFeatureExtractor", "clip_score",
+           "inception_score", "inception_score_from_logits"]

@@ -142,3 +142,43 @@ def test_quality_regression_trained_beats_untrained():
         0.5 * m["fid_clipfeat_seeded_untrained"], m
     assert m["color_accuracy_trained"] >= 0.9, m
     assert m["color_accuracy_untrained"] <= 0.67, m
+
+
+@pytest.mark.fast
+def test_inception_score_analytic():
+    """Golden values: a one-hot uniform-over-classes set scores exactly C;
+    a collapsed (single-class) set scores exactly 1."""
+    from open_muse_tpu.eval.inception_score import inception_score_from_logits
+
+    n_cls = 8
+    # perfectly confident + perfectly diverse -> IS = number of classes
+    big = 60.0
+    diverse = np.full((64, n_cls), -big)
+    for i in range(64):
+        diverse[i, i % n_cls] = big
+    mean, std = inception_score_from_logits(diverse, splits=4)
+    np.testing.assert_allclose(mean, n_cls, rtol=1e-6)
+    assert std < 1e-6
+    # mode collapse -> IS = 1
+    collapsed = np.full((64, n_cls), -big)
+    collapsed[:, 0] = big
+    mean, _ = inception_score_from_logits(collapsed, splits=4)
+    np.testing.assert_allclose(mean, 1.0, rtol=1e-6)
+    # uniform (unconfident) predictions -> also 1
+    mean, _ = inception_score_from_logits(np.zeros((64, n_cls)), splits=4)
+    np.testing.assert_allclose(mean, 1.0, rtol=1e-6)
+
+
+@pytest.mark.fast
+def test_inception_score_classifier_path():
+    from open_muse_tpu.eval.inception_score import inception_score
+
+    rs = np.random.RandomState(0)
+    images = [rs.rand(8, 8, 3) for _ in range(20)]
+
+    def classify(batch):
+        return np.stack([[float(img.mean()), float(img.std()), 1.0]
+                         for img in batch])
+
+    mean, std = inception_score(images, classify, splits=5, batch_size=6)
+    assert np.isfinite(mean) and mean >= 1.0
