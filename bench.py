@@ -20,7 +20,8 @@ BASELINE_MS = 474.0
 TIMESTEPS = 12
 BATCH = 1
 WARMUP = 1
-ITERS = 8
+ITERS = 4   # dispatches per timing chain
+CHAINS = 5  # independent chains (median + >3x-median stall discard)
 
 
 def build_components():
@@ -101,12 +102,22 @@ def main():
     # NOTE (see STATUS.md): even so, each iteration pays a few tunnel
     # dispatches (~10ms RTT each) that a real TPU host would not; profiler
     # traces show device time for the full 12-step decode is ~40 ms.
-    acc = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        acc = acc + jnp.sum(pipeline_call(jax.random.fold_in(key, 100 + i)))
-    float(acc)
-    median_ms = (time.perf_counter() - t0) * 1000 / ITERS
+    #
+    # Stall robustness (round-2 verdict weak #1): time several independent
+    # CHAINS, discard chains > 3x the median as tunnel stalls, report the
+    # median of the rest — one wedged dispatch must not poison the headline.
+    chain_ms = []
+    for c in range(CHAINS):
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            acc = acc + jnp.sum(pipeline_call(
+                jax.random.fold_in(key, 100 + c * 100 + i)))
+        float(acc)
+        chain_ms.append((time.perf_counter() - t0) * 1000 / ITERS)
+    med = float(np.median(chain_ms))
+    kept = [t for t in chain_ms if t <= 3 * med]
+    median_ms = float(np.median(kept))
     print(json.dumps({
         "metric": "muse_256px_bs1_12step_e2e_latency",
         "value": round(median_ms, 2),

@@ -102,19 +102,28 @@ def build(resolution: int, dtype):
 
 
 def _xla_flops(fn, *args):
-    """FLOPs of one call from the compiled executable's cost analysis, or
-    None when the backend doesn't expose it."""
+    """FLOPs of one call from XLA's cost analysis.  Prefers the LOWERED
+    module's analysis (no device compile — important through the tunnel,
+    where each compile costs minutes); falls back to the compiled
+    executable's; None when neither is exposed."""
     import jax
 
     try:
-        compiled = jax.jit(fn).lower(*args).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] if ca else {}
-        flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
+        lowered = jax.jit(fn).lower(*args)
     except Exception:
         return None
+    for get in (lambda: lowered.cost_analysis(),
+                lambda: lowered.compile().cost_analysis()):
+        try:
+            ca = get()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            flops = float(ca.get("flops", 0.0))
+            if flops > 0:
+                return flops
+        except Exception:
+            pass
+    return None
 
 
 def component_flops(transformer, text_encoder, vae, seq_len, batch_size):

@@ -58,11 +58,11 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         num_processes = int(os.environ.get("MUSE_NUM_PROCESSES", "1"))
     if num_processes is None or num_processes <= 1:
         # TPU pod: jax.distributed.initialize() with NO args discovers the
-        # topology from the TPU metadata server.  Opt in explicitly
-        # (MUSE_AUTO_DISTRIBUTED=1, exported by tpu_scripts/launch_pod.sh) or
-        # implicitly when the pod env markers are present.
-        if os.environ.get("MUSE_AUTO_DISTRIBUTED") == "1" or \
-                "TPU_WORKER_HOSTNAMES" in os.environ:
+        # topology from the TPU metadata server.  EXPLICIT opt-in only
+        # (MUSE_AUTO_DISTRIBUTED=1, exported by tpu_scripts/launch_pod.sh):
+        # pod env markers like TPU_WORKER_HOSTNAMES also appear on
+        # single-chip tunnel hosts, where no-arg initialize() fails.
+        if os.environ.get("MUSE_AUTO_DISTRIBUTED") == "1":
             jax.distributed.initialize()
             return True
         return False
