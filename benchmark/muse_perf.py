@@ -243,6 +243,86 @@ def validate_rows(rows):
     return problems
 
 
+def flops_via_cpu_subprocess(resolution, batch_size):
+    """XLA cost analysis needs a backend that exposes it — the axon tunnel
+    returns None for both lowered and compiled analyses, the CPU backend
+    answers instantly from the lowered module (no compile).  Run the analysis
+    in a CPU-forced subprocess; the FLOP count is backend-independent."""
+    import json
+    import subprocess
+
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "artifacts", ".flops_cache.json")
+    key = f"{resolution}-{batch_size}"
+    cache = {}
+    if os.path.isfile(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {}
+    if key in cache:
+        d = cache[key]
+        return d["per_step"], d["fixed"], d["source"]
+
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flops",
+             str(resolution), str(batch_size)],
+            env=env, capture_output=True, text=True, timeout=900)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                d = json.loads(line)
+                cache[key] = d
+                os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+                with open(cache_path, "w") as f:
+                    json.dump(cache, f)
+                return d["per_step"], d["fixed"], d["source"]
+    except Exception:
+        pass
+    return None
+
+
+def run_one_case(resolution, batch_size, steps, iters, chains, out_path):
+    """Measure one config and append its row to the CSV."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+    device = jax.devices()[0].device_kind
+    transformer, text_encoder, vae, seq_len = build(resolution, jnp.bfloat16)
+    ms, imgs, peak_gb = run_case(transformer, text_encoder, vae, seq_len,
+                                 batch_size, steps, iters=iters, chains=chains)
+    parts = flops_via_cpu_subprocess(resolution, batch_size)
+    if parts is None:
+        parts = component_flops(transformer, text_encoder, vae, seq_len,
+                                batch_size)
+    per_step, fixed, source = parts
+    total_flops = steps * per_step + fixed
+    row = {"model": "muse_tpu", "resolution": resolution,
+           "batch_size": batch_size, "timesteps": steps,
+           "use_xformers": "n/a", "use_fused_residual_norm": "xla-fused",
+           "device": device, "median_ms": round(ms, 1),
+           "imgs_per_sec": round(imgs, 2), "peak_mem_gb": peak_gb,
+           "tflops_per_call_est": round(total_flops / 1e12, 3),
+           "mfu_est_pct": "", "flops_source": source}
+    if device in PEAK_TFLOPS:
+        row["mfu_est_pct"] = round(
+            100 * (total_flops / 1e12) / (ms / 1e3) / PEAK_TFLOPS[device], 1)
+    write_header = not os.path.isfile(out_path) or \
+        os.path.getsize(out_path) == 0
+    with open(out_path, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
+        if write_header:
+            writer.writeheader()
+        writer.writerow(row)
+    print(row)
+    return row
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default=os.path.join(
@@ -258,64 +338,89 @@ def main(argv=None):
                         help="overwrite the CSV instead of appending")
     parser.add_argument("--no-published", action="store_true",
                         help="skip merging the published baseline rows")
+    parser.add_argument("--case", type=int, nargs=3, metavar=("RES", "BS", "STEPS"),
+                        help="run exactly one case in-process and append")
+    parser.add_argument("--flops", type=int, nargs=2, metavar=("RES", "BS"),
+                        help="print per-component FLOPs as JSON and exit "
+                             "(run with JAX_PLATFORM_NAME=cpu)")
+    parser.add_argument("--case-timeout", type=int, default=2400,
+                        help="per-case subprocess timeout, seconds")
+    parser.add_argument("--retries", type=int, default=2)
     args = parser.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
+    if args.flops:
+        import jax.numpy as jnp
+        import json as _json
 
-    from bench import _enable_compile_cache
+        transformer, text_encoder, vae, seq_len = build(args.flops[0],
+                                                        jnp.bfloat16)
+        per_step, fixed, source = component_flops(
+            transformer, text_encoder, vae, seq_len, args.flops[1])
+        print(_json.dumps({"per_step": per_step, "fixed": fixed,
+                           "source": source}))
+        return 0
 
-    _enable_compile_cache()
-    device = jax.devices()[0].device_kind
+    if args.case:
+        # in-process single case (the unit the orchestrator spawns)
+        return 0 if run_one_case(args.case[0], args.case[1], args.case[2],
+                                 args.iters, args.chains, args.out) else 1
+
+    # Orchestrator: one SUBPROCESS per case with timeout + retry.  The remote
+    # compile service can wedge indefinitely (a hung XLA call is
+    # uninterruptible in-process, STATUS.md round 1); a fresh process per
+    # case bounds the damage and the persistent compile cache makes retries
+    # cheap for whatever did finish compiling.
+    import subprocess
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    # incremental CSV: remote-compile services can drop mid-sweep; every
-    # finished case is persisted immediately
-    write_header = not os.path.isfile(args.out) or args.fresh
-    mode = "w" if write_header else "a"
-    f = open(args.out, mode, newline="")
-    writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
-    if write_header:
-        writer.writeheader()
-    measured = []
+    if args.fresh and os.path.isfile(args.out):
+        os.remove(args.out)
+    done = set()
+    if os.path.isfile(args.out):
+        with open(args.out) as f:
+            done = {(r["resolution"], r["batch_size"], r["timesteps"])
+                    for r in csv.DictReader(f)
+                    if "published" not in r["device"]}
     for resolution in args.resolutions:
-        transformer, text_encoder, vae, seq_len = build(resolution, jnp.bfloat16)
         for batch_size in args.batch_sizes:
-            flops_parts = None
             for steps in args.timesteps:
-                try:
-                    ms, imgs, peak_gb = run_case(
-                        transformer, text_encoder, vae, seq_len, batch_size,
-                        steps, iters=args.iters, chains=args.chains)
-                    if flops_parts is None:  # one compile set per batch size
-                        flops_parts = component_flops(
-                            transformer, text_encoder, vae, seq_len, batch_size)
-                except Exception as e:  # keep sweeping past transient failures
-                    print(f"case res={resolution} bs={batch_size} steps={steps} "
-                          f"failed: {e}")
+                if (str(resolution), str(batch_size), str(steps)) in done:
+                    print(f"case {resolution}/{batch_size}/{steps} already "
+                          f"measured — skipping (use --fresh to redo)")
                     continue
-                per_step, fixed, source = flops_parts
-                total_flops = steps * per_step + fixed
-                row = {"model": "muse_tpu", "resolution": resolution,
-                       "batch_size": batch_size, "timesteps": steps,
-                       "use_xformers": "n/a",
-                       "use_fused_residual_norm": "xla-fused",
-                       "device": device, "median_ms": round(ms, 1),
-                       "imgs_per_sec": round(imgs, 2), "peak_mem_gb": peak_gb,
-                       "tflops_per_call_est": round(total_flops / 1e12, 3),
-                       "mfu_est_pct": "", "flops_source": source}
-                if device in PEAK_TFLOPS:
-                    row["mfu_est_pct"] = round(
-                        100 * (total_flops / 1e12) / (ms / 1e3)
-                        / PEAK_TFLOPS[device], 1)
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--case", str(resolution), str(batch_size), str(steps),
+                       "--iters", str(args.iters), "--chains", str(args.chains),
+                       "--out", args.out]
+                for attempt in range(args.retries + 1):
+                    try:
+                        proc = subprocess.run(cmd, timeout=args.case_timeout,
+                                              capture_output=True, text=True)
+                        if proc.returncode == 0:
+                            print(proc.stdout.strip().splitlines()[-1])
+                            break
+                        print(f"case {resolution}/{batch_size}/{steps} rc="
+                              f"{proc.returncode}: {proc.stderr[-500:]}",
+                              file=sys.stderr)
+                    except subprocess.TimeoutExpired:
+                        print(f"case {resolution}/{batch_size}/{steps} timed "
+                              f"out after {args.case_timeout}s (compile "
+                              f"service wedged?) attempt {attempt + 1}",
+                              file=sys.stderr)
+
+    measured, have_published = [], False
+    if os.path.isfile(args.out):
+        with open(args.out) as f:
+            for r in csv.DictReader(f):
+                if "published" in r["device"]:
+                    have_published = True
+                else:
+                    measured.append(r)
+    if not args.no_published and not have_published:
+        with open(args.out, "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
+            for row in published_rows():
                 writer.writerow(row)
-                measured.append(row)
-                f.flush()
-                print(row)
-        del transformer, text_encoder, vae
-    if not args.no_published and write_header:
-        for row in published_rows():
-            writer.writerow(row)
-    f.close()
     problems = validate_rows(measured)
     for p in problems:
         print(f"INCONSISTENT: {p}", file=sys.stderr)
