@@ -32,18 +32,28 @@ CASES = [
 
 
 def time_fn(fn, args, iters, chains):
+    """Per-call ms with the iteration loop INSIDE one jit: a lax.fori_loop
+    feeds each attention output back in as the next query, so the tunnel's
+    ~3-5 ms per-dispatch RTT is paid once per chain instead of once per call
+    (at these shapes the kernel itself is tens of microseconds — per-call
+    dispatch timing would only measure the tunnel)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    float(jnp.sum(fn(*args)))  # compile + force
-    float(jnp.sum(fn(*args)))
+    q, k, v = args
+
+    @jax.jit
+    def chain(q, k, v):
+        def body(_, acc):
+            return fn(acc, k, v)
+        return lax.fori_loop(0, iters, body, q)
+
+    float(jnp.sum(chain(q, k, v)))  # compile + force
     chain_ms = []
     for _ in range(chains):
-        acc = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            acc = acc + jnp.sum(fn(*args))
-        float(acc)
+        float(jnp.sum(chain(q, k, v)))
         chain_ms.append((time.perf_counter() - t0) * 1000 / iters)
     med = float(np.median(chain_ms))
     kept = [t for t in chain_ms if t <= 3 * med]
@@ -52,7 +62,7 @@ def time_fn(fn, args, iters, chains):
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--chains", type=int, default=5)
     parser.add_argument("--dtype", default="bfloat16")
     args = parser.parse_args(argv)
@@ -87,6 +97,12 @@ def main(argv=None):
     wins = [r for r in results if r[3] == r[3] and r[3] > 1.1]
     print(f"\nverdict: pallas wins {len(wins)}/{len(results)} cases by >10% "
           f"-> {'keep as opt-in' if len(wins) < len(results) else 'promote'}")
+    print("caveat: cases under ~0.5 ms sit at the tunnel RTT/iters "
+          "measurement floor; the decisive case is large-seq self-attention "
+          "(O(S^2) logits in HBM), which this model family never runs — the "
+          "f8 down/up blocks cross-attend to 77 text tokens "
+          "(models/transformer_v2.py AttentionBlock2D), and trunk self-attn "
+          "is 256 tokens.")
     return 0
 
 

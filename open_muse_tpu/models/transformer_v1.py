@@ -398,14 +398,17 @@ class MaskGitTransformer(ModelMixin):
                     logits = logits[:, 1:]
 
                 key, sample_key, mask_key = jax.random.split(key, 3)
-                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                sampled_ids = jax.random.categorical(sample_key, logits.astype(jnp.float32),
-                                                     axis=-1)
+                logits32 = logits.astype(jnp.float32)
+                sampled_ids = jax.random.categorical(sample_key, logits32, axis=-1)
                 unknown_map = ids == cfg.mask_token_id
                 sampled_ids = jnp.where(unknown_map, sampled_ids, ids)
 
-                selected_probs = jnp.take_along_axis(probs, sampled_ids[..., None],
-                                                     axis=-1)[..., 0]
+                # softmax-then-gather without the full (B, S, V) probs tensor
+                # (same HBM-saving identity as v2's parallel_decode_loop)
+                sel_logit = jnp.take_along_axis(logits32, sampled_ids[..., None],
+                                                axis=-1)[..., 0]
+                selected_probs = jnp.exp(
+                    sel_logit - jax.nn.logsumexp(logits32, axis=-1))
                 selected_probs = jnp.where(unknown_map, selected_probs,
                                            jnp.finfo(jnp.float32).max)
                 mask_len = jnp.floor(seq_len * mask_ratios[step])
@@ -512,9 +515,11 @@ class MaskGitTransformer(ModelMixin):
                     pred_ids = sampling.gumbel_sample(gkey, filtered, step_temp).astype(jnp.int32)
                     is_mask = ids == cfg.mask_token_id
                     ids = jnp.where(is_mask, pred_ids, ids)
-                    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                    scores = 1.0 - jnp.take_along_axis(probs, pred_ids[..., None],
-                                                       axis=-1)[..., 0]
+                    logits32 = logits.astype(jnp.float32)
+                    sel_logit = jnp.take_along_axis(logits32, pred_ids[..., None],
+                                                    axis=-1)[..., 0]
+                    scores = 1.0 - jnp.exp(
+                        sel_logit - jax.nn.logsumexp(logits32, axis=-1))
                 return ids
 
             self._jit_cache[cache_key] = run

@@ -256,6 +256,12 @@ class GLUFeedForward(nn.Module):
             x, residual, return_residual=True)
         x = AdaLNModulation(cfg.hidden_size, cfg.hidden_size, use_bias=cfg.use_bias,
                             name="adaLN_modulation", dtype=self.dtype)(x, cond_embeds)
+        # NOTE: the wi_0/wi_1 up-projections are deliberately NOT manually
+        # concatenated: XLA already fuses the pair into one matmul inside the
+        # decode scan (profiler: a single 231 us op at 512px/bs8 = the full
+        # 47 GFLOP GLU-up at ~peak MFU), and a trace-time concat of the
+        # kernels costs +0.26 GB peak HBM for zero latency win (measured
+        # 426.1 vs 426.8 ms).
         dense = lambda n, f: nn.Dense(f, use_bias=cfg.use_bias, name=n,
                                       kernel_init=nn.initializers.truncated_normal(0.02),
                                       dtype=self.dtype)
@@ -403,7 +409,6 @@ def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
                 cond_logits - uncond_logits)
 
         key, sample_key, mask_key = jax.random.split(key, 3)
-        probs = jax.nn.softmax(logits, axis=-1)
         sampled_ids = jax.random.categorical(sample_key, logits, axis=-1)
         # intermediate frames record the RAW samples, before already-known
         # tokens are restored (reference modeling_transformer_v2.py:447-450)
@@ -415,7 +420,13 @@ def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
         mask_len = jnp.maximum(
             1.0, jnp.minimum(jnp.sum(unknown_map, axis=-1, keepdims=True) - 1.0,
                              mask_len))
-        selected = jnp.take_along_axis(probs, sampled_ids[..., None], axis=-1)[..., 0]
+        # p(sampled) = exp(logit[sampled] - logsumexp(logits)): identical to
+        # softmax-then-gather (reference :443-446) without materializing the
+        # full (B, S, V) probability tensor in HBM — at 512px/bs8 that tensor
+        # is 268 MB per step
+        sel_logit = jnp.take_along_axis(logits, sampled_ids[..., None],
+                                        axis=-1)[..., 0]
+        selected = jnp.exp(sel_logit - jax.nn.logsumexp(logits, axis=-1))
         selected = jnp.where(unknown_map, selected, jnp.finfo(jnp.float32).max)
         masking = sampling.mask_by_random_topk(mask_key, mask_len, selected,
                                                temperatures[step_idx])

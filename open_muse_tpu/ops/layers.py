@@ -10,7 +10,7 @@ flash_attn's ``dropout_add_rms_norm`` / ``fused_mlp_func`` for
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -203,10 +203,11 @@ class _ProjParams(nn.Module):
     in_features: int
     features: int
     use_bias: bool
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", self.kernel_init,
                             (self.in_features, self.features))
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,)) if self.use_bias else None
