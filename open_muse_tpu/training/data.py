@@ -265,11 +265,12 @@ def person_token_replace(text: str, rng: random.Random) -> str:
 
 
 def image_transform(image, resolution: int = 256, rng: Optional[random.Random] = None,
-                    center_crop: bool = False):
+                    center_crop: bool = False, normalize: bool = True):
     """Resize shorter side to `resolution`, (random|center) crop, return
-    (NHWC float array in [0,1], orig_size (width, height), crop_coords
-    (top, left)) — both feed the micro-conds (reference
-    training/data.py:96-97,136-145)."""
+    (NHWC float array in [0,1] — or uint8 when ``normalize=False``, for
+    callers that divide on-device to cut host->device traffic 4x —
+    orig_size (width, height), crop_coords (top, left)) — both feed the
+    micro-conds (reference training/data.py:96-97,136-145)."""
     from PIL import Image
 
     rng = rng or random
@@ -288,7 +289,10 @@ def image_transform(image, resolution: int = 256, rng: Optional[random.Random] =
         left = rng.randint(0, w2 - resolution) if w2 > resolution else 0
         top = rng.randint(0, h2 - resolution) if h2 > resolution else 0
     image = image.crop((left, top, left + resolution, top + resolution))
-    arr = np.asarray(image, dtype=np.float32) / 255.0
+    if normalize:
+        arr = np.asarray(image, dtype=np.float32) / 255.0
+    else:
+        arr = np.asarray(image, dtype=np.uint8)
     return arr, orig_size, (top, left)
 
 

@@ -175,9 +175,16 @@ def main(argv=None):
 
     import random
 
+    encode_fn = _build_encode_fn(vae_f16, vae_f8, text_encoder)
+
     t_start = time.time()
     n_samples = 0
     n_batches = 0
+    t_steady = None
+    # one-deep pipeline: the device encodes batch N while the host reads,
+    # decodes and uploads batch N+1 (jax dispatch is async; the fetch of N
+    # happens after N+1 is enqueued)
+    pending = None
     for url in shards:
         shard_name = os.path.basename(url)
         batch = []
@@ -188,26 +195,86 @@ def main(argv=None):
             batch.append((raw, sample))
             if len(batch) < args.batch_size:
                 continue
-            n_batches += _encode_and_write(batch, writer, shard_name, args,
-                                           vae_f16, vae_f8, text_encoder, tokenizer)
+            t_a = time.perf_counter()
+            outs = _encode_batch(batch, args, encode_fn, vae_f16, vae_f8,
+                                 text_encoder, tokenizer)
+            t_b = time.perf_counter()
+            if pending is not None:
+                _write_batch(*pending, writer)
+            t_c = time.perf_counter()
+            if os.environ.get("MUSE_PRE_ENCODE_TIMING"):
+                print(f"  batch {n_batches}: dispatch {t_b - t_a:.2f}s "
+                      f"write-prev {t_c - t_b:.2f}s", flush=True)
+            pending = (batch, shard_name, outs)
+            n_batches += 1
             n_samples += len(batch)
             batch = []
+            if n_batches == 1:
+                # steady-state window starts after the first batch (which
+                # pays the jit compile)
+                t_steady = time.perf_counter()
             if args.max_batches and n_batches >= args.max_batches:
                 break
         if batch:
-            n_batches += _encode_and_write(batch, writer, shard_name, args,
-                                           vae_f16, vae_f8, text_encoder, tokenizer)
+            outs = _encode_batch(batch, args, encode_fn, vae_f16, vae_f8,
+                                 text_encoder, tokenizer)
+            if pending is not None:
+                _write_batch(*pending, writer)
+            pending = (batch, shard_name, outs)
+            n_batches += 1
             n_samples += len(batch)
         if args.max_batches and n_batches >= args.max_batches:
             break
+    if pending is not None:
+        _write_batch(*pending, writer)
     writer.close()
     dt = time.time() - t_start
+    stats = {"n_samples": n_samples, "total_s": dt,
+             "imgs_per_sec": n_samples / max(dt, 1e-9)}
+    if n_batches > 1 and t_steady is not None:
+        steady_s = time.perf_counter() - t_steady
+        steady_n = n_samples - args.batch_size
+        stats["steady_imgs_per_sec"] = steady_n / max(steady_s, 1e-9)
     print(f"encoded {n_samples} samples from {len(shards)} shards in {dt:.1f}s "
-          f"({n_samples / max(dt, 1e-9):.1f} samples/s)")
+          f"({stats['imgs_per_sec']:.1f} samples/s"
+          + (f"; steady-state {stats['steady_imgs_per_sec']:.1f} samples/s "
+             f"excl. first-batch compile" if "steady_imgs_per_sec" in stats
+             else "") + ")")
+    return stats
 
 
-def _encode_and_write(batch, writer, shard_name, args, vae_f16, vae_f8,
-                      text_encoder, tokenizer):
+def _build_encode_fn(vae_f16, vae_f8, text_encoder):
+    """ALL encoders as ONE jitted program.  uint8 pixels are normalized
+    on-device (4x less host->device traffic than fp32 — the dominant cost on
+    remote-device hosts) and the CLIP states are cast to fp16 on-device
+    before the fetch (2x less device->host)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fused(f16_params, f8_params, te_params, pixels_u8, ids):
+        pixels = pixels_u8.astype(jnp.float32) / 255.0
+        outs = {}
+        if vae_f16 is not None:
+            outs["vq_f16.npy"] = vae_f16.module.apply(
+                {"params": f16_params}, pixels,
+                method=vae_f16.module.get_code).astype(jnp.int32)
+        if vae_f8 is not None:
+            outs["vq_f8.npy"] = vae_f8.module.apply(
+                {"params": f8_params}, pixels,
+                method=vae_f8.module.get_code).astype(jnp.int32)
+        if text_encoder is not None:
+            hs, _, pooled = text_encoder.module.apply({"params": te_params}, ids)
+            outs["clip_penultimate.npy"] = hs[-2].astype(jnp.float16)
+            outs["clip_pooled.npy"] = pooled.astype(jnp.float16)
+        return outs
+
+    return fused
+
+
+def _encode_batch(batch, args, encode_fn, vae_f16, vae_f8, text_encoder,
+                  tokenizer):
+    """Host transform + async device dispatch; returns device arrays."""
     import random
 
     import jax.numpy as jnp
@@ -218,24 +285,37 @@ def _encode_and_write(batch, writer, shard_name, args, vae_f16, vae_f8,
     pixels = []
     for _, sample in batch:
         arr, _, _ = image_transform(sample["image"], args.resolution, rng,
-                                    center_crop=True)
+                                    center_crop=True, normalize=False)
         pixels.append(arr)
-    pixels = jnp.asarray(np.stack(pixels))
-
-    outputs = {}
-    if vae_f16 is not None:
-        outputs["vq_f16.npy"] = np.asarray(vae_f16.get_code(pixels)).astype(np.int32)
-    if vae_f8 is not None:
-        outputs["vq_f8.npy"] = np.asarray(vae_f8.get_code(pixels)).astype(np.int32)
+    # pad short tail batches to the full batch shape: one compiled program
+    # for the whole run (a tail-shape recompile costs minutes on remote
+    # compile services); _write_batch only writes len(batch) entries
+    pad = args.batch_size - len(pixels)
+    if pad > 0:
+        pixels.extend([pixels[-1]] * pad)
+    pixels = jnp.asarray(np.stack(pixels))  # uint8 NHWC
+    ids = jnp.zeros((len(pixels), 1), jnp.int32)
     if text_encoder is not None:
-        texts = [s.get("text", "") for _, s in batch]
+        texts = [s.get("text", "") for _, s in batch] + [""] * max(pad, 0)
         ids = jnp.asarray(tokenizer(texts, padding="max_length", truncation=True,
                                     max_length=tokenizer.model_max_length,
                                     return_tensors="np")["input_ids"])
-        hs, _, pooled = text_encoder.encode(ids)
-        outputs["clip_penultimate.npy"] = np.asarray(hs[-2], dtype=np.float16)
-        outputs["clip_pooled.npy"] = np.asarray(pooled, dtype=np.float16)
+    return encode_fn(vae_f16.params if vae_f16 is not None else {},
+                     vae_f8.params if vae_f8 is not None else {},
+                     text_encoder.params if text_encoder is not None else {},
+                     pixels, ids)
 
+
+def _write_batch(batch, shard_name, outs, writer):
+    """Fetch the (compact) device outputs and hand members to the writer."""
+    import jax
+
+    # ONE device_get for all outputs: separate np.asarray fetches each pay a
+    # full round-trip on remote-device hosts
+    fetched = jax.device_get(outs)
+    outputs = {}
+    for name, host in fetched.items():
+        outputs[name] = host.astype(np.int32) if name.startswith("vq_") else host
     for i, (raw, sample) in enumerate(batch):
         key = sample["__key__"]
         members = {}
@@ -248,7 +328,6 @@ def _encode_and_write(batch, writer, shard_name, args, vae_f16, vae_f8,
 
             members[f"{key}.json"] = json.dumps(sample["metadata"]).encode()
         writer.submit(shard_name, members)
-    return 1
 
 
 if __name__ == "__main__":
