@@ -1,0 +1,185 @@
+"""Training-step throughput benchmark: the fused GSPMD train step at the
+research-run architecture on one chip.
+
+The reference never published a training benchmark (training was validated
+operationally on SLURM + wandb, SURVEY §4); this gives the TPU framework a
+measured number: steps/s, imgs/s, tokens/s and est-MFU for the
+MaskGiTUViT_v2 research config (hidden 1024 / 22 layers / vocab 8256) with
+bf16 compute, fp32 params/optimizer, fused mask->fwd->bwd->clip->adamw->EMA
+step (training/trainer.py make_uvit_train_step, donated state).
+
+FLOPs come from XLA cost analysis of the lowered step on the CPU backend
+(backend-independent; the remote TPU backend exposes no cost analysis) —
+run in a subprocess exactly like benchmark/muse_perf.py.
+
+Usage:
+  python benchmark/bench_train_step.py [--batch-sizes 64 256] [--steps 8]
+  python benchmark/bench_train_step.py --flops 64   # internal (CPU backend)
+Prints one JSON line per batch size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_TFLOPS = {"TPU v5 lite": 197.0}
+SEQ = 256
+TEXT_LEN = 77
+TEXT_DIM = 768
+
+
+def build_step_and_state(batch_size: int, remat: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+    from open_muse_tpu.ops.sampling import get_mask_schedule
+    from open_muse_tpu.training.trainer import (create_train_state,
+                                                make_uvit_train_step)
+
+    model = MaskGiTUViT_v2(dtype=jnp.bfloat16, remat=remat)
+    cfg = model.config
+    tx = optax.adamw(1e-4, b1=0.9, b2=0.999, weight_decay=0.01)
+    state = create_train_state(model.params, tx, with_ema=True)
+    step_fn = make_uvit_train_step(
+        model.module, tx, get_mask_schedule("cosine"), cfg.mask_token_id,
+        codebook_size=cfg.codebook_size, cond_dropout_prob=0.1,
+        max_grad_norm=1.0)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "image_tokens": jnp.asarray(
+            rs.randint(0, cfg.codebook_size, (batch_size, SEQ)), jnp.int32),
+        "encoder_hidden_states": jnp.asarray(
+            rs.randn(batch_size, TEXT_LEN, TEXT_DIM), jnp.float32),
+        "cond_embeds": jnp.asarray(
+            rs.randn(batch_size, cfg.cond_embed_dim), jnp.float32),
+        "micro_conds": jnp.asarray(
+            np.tile([256, 256, 0, 0, 6.0], (batch_size, 1)), jnp.float32),
+        "empty_embeds": jnp.zeros((1, TEXT_LEN, TEXT_DIM), jnp.float32),
+        "empty_cond_embeds": jnp.zeros((1, cfg.cond_embed_dim), jnp.float32),
+    }
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(model.params))
+    return step_fn, state, batch, n_params
+
+
+def flops_via_cpu_subprocess(batch_size: int, remat: bool = False):
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "artifacts", ".flops_cache.json")
+    key = f"train-{batch_size}" + ("-remat" if remat else "")
+    cache = {}
+    if os.path.isfile(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {}
+    if key in cache:
+        return cache[key]["per_step"], cache[key]["source"]
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flops",
+             str(batch_size)] + (["--remat"] if remat else []),
+            env=env, capture_output=True, text=True, timeout=1800)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                d = json.loads(line)
+                cache[key] = d
+                os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+                with open(cache_path, "w") as f:
+                    json.dump(cache, f)
+                return d["per_step"], d["source"]
+    except Exception:
+        pass
+    return None, None
+
+
+def measure(batch_size: int, steps: int, remat: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    step_fn, state, batch, n_params = build_step_and_state(batch_size, remat)
+    key = jax.random.PRNGKey(0)
+    # warmup: compile + one settled step
+    state, m = step_fn(state, batch, jax.random.fold_in(key, 0))
+    float(m["loss"])
+    state, m = step_fn(state, batch, jax.random.fold_in(key, 1))
+    float(m["loss"])
+    # timing: the donated-state chain is naturally dependent
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step_fn(state, batch, jax.random.fold_in(key, 2 + i))
+    float(m["loss"])  # force
+    dt = (time.perf_counter() - t0) / steps
+    return dt, n_params
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-sizes", type=int, nargs="+", default=[64, 256])
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient checkpointing (production configs use "
+                             "this; also shrinks the compile, which the "
+                             "remote AOT helper needs at research scale)")
+    parser.add_argument("--flops", type=int, metavar="BS",
+                        help="print train-step FLOPs as JSON (CPU backend)")
+    args = parser.parse_args(argv)
+
+    if args.flops:
+        import jax
+
+        step_fn, state, batch, _ = build_step_and_state(args.flops, args.remat)
+        key = jax.random.PRNGKey(0)
+        lowered = step_fn.lower(state, batch, key)
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) if ca else 0.0
+        print(json.dumps({"per_step": flops, "source": "xla-cost-analysis"}))
+        return 0
+
+    import jax
+
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+    device = jax.devices()[0].device_kind
+    for bs in args.batch_sizes:
+        try:
+            dt, n_params = measure(bs, args.steps, args.remat)
+        except Exception as e:
+            print(json.dumps({"metric": "train_step", "batch_size": bs,
+                              "error": str(e)[:300]}))
+            continue
+        flops, source = flops_via_cpu_subprocess(bs, args.remat)
+        row = {"metric": "train_step", "batch_size": bs,
+               "remat": bool(args.remat),
+               "device": device, "step_ms": round(dt * 1e3, 1),
+               "imgs_per_sec": round(bs / dt, 1),
+               "tokens_per_sec": round(bs * SEQ / dt),
+               "params_m": round(n_params / 1e6, 1)}
+        if flops:
+            row["tflops_per_step_est"] = round(flops / 1e12, 2)
+            if device in PEAK_TFLOPS:
+                row["mfu_est_pct"] = round(
+                    100 * flops / 1e12 / dt / PEAK_TFLOPS[device], 1)
+            row["flops_source"] = source
+        print(json.dumps(row))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -72,6 +72,33 @@ def test_pre_encode_roundtrip(tmp_path):
     assert batches[0][key].shape == (2, 256)  # 16x16 tokens
 
 
+def test_pre_encode_tail_batch_padded_not_duplicated(tmp_path):
+    """A short tail batch is padded to the compiled batch shape on device (no
+    tail-shape recompile) but only the real samples are written out."""
+    from scripts.convert_datasets_to_wds import main as convert_main
+    from scripts.pre_encode import main as pre_encode_main
+    from open_muse_tpu.models.maskgit_vqgan import MaskGitVQGAN
+
+    src = _image_dir(tmp_path)  # 6 samples
+    shards = str(tmp_path / "raw" / "d-%05d.tar")
+    convert_main(["--input", src, "--output", shards, "--mode", "caption",
+                  "--samples-per-shard", "6"])
+    vq = MaskGitVQGAN(resolution=32, hidden_channels=32, channel_mult=(1, 2),
+                      num_res_blocks=1, z_channels=16, num_embeddings=64,
+                      quantized_embed_dim=16)
+    vq_dir = str(tmp_path / "vq")
+    vq.save_pretrained(vq_dir)
+    out_dir = str(tmp_path / "encoded")
+    stats = pre_encode_main(["--shards", shards % 0, "--output-dir", out_dir,
+                             "--vae-f16", vq_dir, "--batch-size", "4",
+                             "--resolution", "32"])  # 1 full + tail of 2
+    assert stats["n_samples"] == 6
+    out_shard = os.path.join(out_dir, os.path.basename(shards % 0))
+    with tarfile.open(out_shard) as tf:
+        npy_members = [m for m in tf.getnames() if m.endswith("vq_f16.npy")]
+    assert len(npy_members) == 6  # no padded duplicates written
+
+
 def test_shard_writer_pool_eviction(tmp_path):
     """Many shards with few open writers: eviction finalizes tars cleanly and
     reopening a finalized shard errors instead of truncating it."""
