@@ -74,10 +74,14 @@ def build_step_and_state(batch_size: int, remat: bool = False):
     return step_fn, state, batch, n_params
 
 
-def flops_via_cpu_subprocess(batch_size: int, remat: bool = False):
+def _remat_value(flag):
+    return {"full": True, "dots": "dots"}.get(flag, False)
+
+
+def flops_via_cpu_subprocess(batch_size: int, remat=None):
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "artifacts", ".flops_cache.json")
-    key = f"train-{batch_size}" + ("-remat" if remat else "")
+    key = f"train-{batch_size}" + (f"-remat-{remat}" if remat else "")
     cache = {}
     if os.path.isfile(cache_path):
         try:
@@ -91,7 +95,7 @@ def flops_via_cpu_subprocess(batch_size: int, remat: bool = False):
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flops",
-             str(batch_size)] + (["--remat"] if remat else []),
+             str(batch_size)] + (["--remat", remat] if remat else []),
             env=env, capture_output=True, text=True, timeout=1800)
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
@@ -130,10 +134,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-sizes", type=int, nargs="+", default=[64, 256])
     parser.add_argument("--steps", type=int, default=8)
-    parser.add_argument("--remat", action="store_true",
-                        help="gradient checkpointing (production configs use "
-                             "this; also shrinks the compile, which the "
-                             "remote AOT helper needs at research scale)")
+    parser.add_argument("--remat", nargs="?", const="full",
+                        choices=["full", "dots"], default=None,
+                        help="gradient checkpointing: 'full' recomputes the "
+                             "whole layer, 'dots' saves matmul outputs and "
+                             "recomputes only elementwise (production "
+                             "configs use one of these; remat also shrinks "
+                             "the compile, which the remote AOT helper needs "
+                             "at research scale)")
     parser.add_argument("--flops", type=int, metavar="BS",
                         help="print train-step FLOPs as JSON (CPU backend)")
     args = parser.parse_args(argv)
@@ -141,7 +149,7 @@ def main(argv=None):
     if args.flops:
         import jax
 
-        step_fn, state, batch, _ = build_step_and_state(args.flops, args.remat)
+        step_fn, state, batch, _ = build_step_and_state(args.flops, _remat_value(args.remat))
         key = jax.random.PRNGKey(0)
         lowered = step_fn.lower(state, batch, key)
         ca = lowered.cost_analysis()
@@ -159,14 +167,14 @@ def main(argv=None):
     device = jax.devices()[0].device_kind
     for bs in args.batch_sizes:
         try:
-            dt, n_params = measure(bs, args.steps, args.remat)
+            dt, n_params = measure(bs, args.steps, _remat_value(args.remat))
         except Exception as e:
             print(json.dumps({"metric": "train_step", "batch_size": bs,
                               "error": str(e)[:300]}))
             continue
         flops, source = flops_via_cpu_subprocess(bs, args.remat)
         row = {"metric": "train_step", "batch_size": bs,
-               "remat": bool(args.remat),
+               "remat": args.remat or "off",
                "device": device, "step_ms": round(dt * 1e3, 1),
                "imgs_per_sec": round(bs / dt, 1),
                "tokens_per_sec": round(bs * SEQ / dt),

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -324,7 +324,11 @@ class ConvMlmLayer(nn.Module):
 class MaskGiTUViT_v2Module(nn.Module):
     config: MaskGiTUViT_v2Config
     dtype: jnp.dtype = jnp.float32
-    remat: bool = False  # gradient checkpointing for the 22-layer trunk
+    # gradient checkpointing for the 22-layer trunk: False | True ('full',
+    # recompute everything) | 'dots' (save matmul outputs, recompute only
+    # elementwise — jax.checkpoint_policies.dots_with_no_batch_dims_saveable;
+    # ~20% of the full-remat recompute FLOPs for modestly more memory)
+    remat: Any = False
 
     @nn.compact
     def __call__(self, input_ids, encoder_hidden_states, cond_embeds, micro_conds,
@@ -360,7 +364,11 @@ class MaskGiTUViT_v2Module(nn.Module):
 
         layer_cls = TransformerLayer
         if self.remat:
-            layer_cls = nn.remat(TransformerLayer, static_argnums=())
+            policy = None
+            if self.remat == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(),
+                                 policy=policy)
         residual = None
         for i in range(cfg.num_hidden_layers):
             x, residual = layer_cls(cfg, name=f"transformer_layers_{i}",
@@ -448,7 +456,7 @@ class MaskGiTUViT_v2(ModelMixin):
     _class_name_aliases = ("MaskGiTUViT",)
     _transposed_conv_patterns = (r"upsample_1\.kernel$",)
 
-    def __init__(self, *args, remat: bool = False, **kwargs):
+    def __init__(self, *args, remat: Any = False, **kwargs):
         self._remat = remat
         super().__init__(*args, **kwargs)
         # the reference unconditionally re-registers mask_token_id as

@@ -228,9 +228,11 @@ def main(argv=None):
 
         model = MaskGitTransformer(**tcfg, dtype=dtype)
     else:
+        # gradient_checkpointing: false | true (full remat) | 'dots'
+        # (save matmul outputs, recompute only elementwise)
+        gc = config.model.get("gradient_checkpointing", False)
         model = MaskGiTUViT_v2(
-            **tcfg, dtype=dtype,
-            remat=bool(config.model.get("gradient_checkpointing", False)))
+            **tcfg, dtype=dtype, remat=gc if isinstance(gc, str) else bool(gc))
     mask_id = model.config.mask_token_id
     logger.info(f"transformer params: {model.num_parameters() / 1e6:.1f}M")
 
