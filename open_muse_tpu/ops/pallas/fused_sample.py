@@ -1,0 +1,166 @@
+"""Fused categorical sampling + confidence (Pallas TPU).
+
+The MaskGIT decode tail does, per step (models/transformer_v2.py
+parallel_decode_loop, reference modeling_transformer_v2.py:443-446):
+
+    sampled = categorical(key, logits)            # gumbel + argmax, 1 read
+    lse     = logsumexp(logits)                   # 1 read
+    selected = exp(logits[sampled] - lse)         # gather
+
+XLA executes that as separate passes over the (B, S, V) fp32 logits — at
+512px/bs8 that tensor is 268 MB and the sampling tail costs ~1.7 ms of each
+34 ms step (STATUS.md per-op accounting), dominated by HBM re-reads plus
+threefry gumbel generation. This kernel streams the logits ONCE through
+VMEM, generating gumbel noise on-chip (pltpu PRNG) and tracking, per row:
+
+  * running argmax of (logit + gumbel)  -> the categorical sample
+  * the logit value at that argmax      -> numerator of the confidence
+  * online logsumexp (m, s)             -> denominator
+
+Distributionally equivalent to jax.random.categorical (the gumbel-max
+trick), NOT bitwise: the noise comes from the TPU PRNG seeded from the
+caller's key, not threefry. Opt-in via MUSE_TPU_PALLAS_SAMPLE=1 (TPU only).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_categorical"]
+
+
+def _kernel(seed_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
+            onchip_rng: bool):
+    if onchip_rng:
+        noise_ref = None
+        (ids_ref, sel_ref, best_score, best_idx, best_logit, run_m,
+         run_s) = rest
+    else:
+        (noise_ref, ids_ref, sel_ref, best_score, best_idx, best_logit,
+         run_m, run_s) = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_score[...] = jnp.full_like(best_score, -jnp.inf)
+        best_idx[...] = jnp.zeros_like(best_idx)
+        best_logit[...] = jnp.full_like(best_logit, -jnp.inf)
+        run_m[...] = jnp.full_like(run_m, -jnp.inf)
+        run_s[...] = jnp.zeros_like(run_s)
+
+    x = x_ref[...].astype(jnp.float32)  # (block_n, block_v)
+
+    if onchip_rng:
+        # on-chip gumbel noise; seed is unique per (row-block, v-block) so
+        # every logit sees an independent draw and repeated calls with a new
+        # seed resample
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * n_v_blocks + j)
+        bits = pltpu.prng_random_bits(x.shape).astype(jnp.uint32)
+        # Mosaic has no uint32->f32 cast; >>8 leaves 24 bits, exact in int32
+        b24 = (bits >> 8).astype(jnp.int32)
+        u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+        g = -jnp.log(-jnp.log(u))
+    else:
+        g = noise_ref[...]  # pre-drawn gumbel (tests / interpret mode)
+    score = x + g
+
+    # per-row tile argmax of the perturbed logits; the raw logit at the
+    # argmax is recovered with a where+max (Mosaic has no in-kernel gather)
+    tile_best = jnp.max(score, axis=1, keepdims=True)
+    is_best = score == tile_best
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    arg_local = jnp.min(jnp.where(is_best, col_iota, score.shape[1]),
+                        axis=1, keepdims=True)
+    col = arg_local + j * block_v
+    logit_at = jnp.max(jnp.where(is_best, x, -jnp.inf), axis=1, keepdims=True)
+    upd = tile_best > best_score[...]
+    best_idx[...] = jnp.where(upd, col.astype(jnp.int32), best_idx[...])
+    best_logit[...] = jnp.where(upd, logit_at, best_logit[...])
+    best_score[...] = jnp.maximum(best_score[...], tile_best)
+
+    # online logsumexp of the raw logits
+    tile_m = jnp.max(x, axis=1, keepdims=True)
+    new_m = jnp.maximum(run_m[...], tile_m)
+    run_s[...] = run_s[...] * jnp.exp(run_m[...] - new_m) + \
+        jnp.sum(jnp.exp(x - new_m), axis=1, keepdims=True)
+    run_m[...] = new_m
+
+    @pl.when(j == n_v_blocks - 1)
+    def _finish():
+        ids_ref[...] = best_idx[...]
+        lse = run_m[...] + jnp.log(run_s[...])
+        sel_ref[...] = jnp.exp(best_logit[...] - lse)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_v", "interpret"))
+def fused_categorical(seed, logits, block_n: int = 256, block_v: int = 2048,
+                      interpret: bool = False, gumbel=None):
+    """seed (int32 scalar or (1,)), logits (..., V) fp32 ->
+    (ids int32 (...,), selected f32 (...,)) — ids ~ categorical(logits),
+    selected = softmax(logits)[ids].
+
+    gumbel: optional pre-drawn noise with logits' shape (the TPU PRNG
+    primitives have no interpret-mode lowering; tests pass explicit noise).
+    """
+    orig_shape = logits.shape[:-1]
+    v = logits.shape[-1]
+    n = 1
+    for d in orig_shape:
+        n *= d
+    x = logits.reshape(n, v).astype(jnp.float32)
+    block_n = min(block_n, n)
+    block_v = min(block_v, v)
+    pad_n = (-n) % block_n
+    if pad_n:
+        x = jnp.pad(x, ((0, pad_n), (0, 0)))
+    if v % block_v:
+        raise ValueError(f"vocab {v} must be a multiple of block_v {block_v}")
+    n_v_blocks = v // block_v
+    grid = (x.shape[0] // block_n, n_v_blocks)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    onchip_rng = gumbel is None
+    inputs = [seed, x]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((block_n, block_v), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if not onchip_rng:
+        gf = gumbel.reshape(n, v).astype(jnp.float32)
+        if pad_n:
+            gf = jnp.pad(gf, ((0, pad_n), (0, 0)))
+        inputs.append(gf)
+        in_specs.append(pl.BlockSpec((block_n, block_v), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+    ids, sel = pl.pallas_call(
+        functools.partial(_kernel, n_v_blocks=n_v_blocks, block_v=block_v,
+                          onchip_rng=onchip_rng),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((x.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_n, 1), jnp.float32),  # best_score
+            pltpu.VMEM((block_n, 1), jnp.int32),    # best_idx
+            pltpu.VMEM((block_n, 1), jnp.float32),  # best_logit
+            pltpu.VMEM((block_n, 1), jnp.float32),  # run_m
+            pltpu.VMEM((block_n, 1), jnp.float32),  # run_s
+        ],
+        interpret=interpret,
+    )(*inputs)
+    ids = ids[:n, 0].reshape(orig_shape)
+    sel = sel[:n, 0].reshape(orig_shape)
+    return ids, sel

@@ -60,3 +60,38 @@ def test_flash_attention_matches_xla(tq, tk):
     got = flash_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
+
+
+def test_fused_categorical_exact_with_explicit_noise():
+    """With explicit gumbel noise the streaming kernel must match
+    argmax(logits + g) and softmax-gather confidence EXACTLY (the on-chip
+    PRNG path is TPU-only and validated on hardware)."""
+    import jax
+
+    from open_muse_tpu.ops.pallas.fused_sample import fused_categorical
+
+    rs = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray(rs.randn(4, 100, 512).astype(np.float32) * 3)
+    g = jax.random.gumbel(key, logits.shape, jnp.float32)
+    ids, sel = fused_categorical(0, logits, interpret=True, gumbel=g)
+    ref_ids = jnp.argmax(logits + g, -1)
+    assert (np.asarray(ids) == np.asarray(ref_ids)).all()
+    ref_sel = jnp.take_along_axis(jax.nn.softmax(logits, -1),
+                                  ref_ids[..., None], -1)[..., 0]
+    np.testing.assert_allclose(np.asarray(sel), np.asarray(ref_sel),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_fused_categorical_row_padding():
+    import jax
+
+    from open_muse_tpu.ops.pallas.fused_sample import fused_categorical
+
+    rs = np.random.RandomState(1)
+    key = jax.random.PRNGKey(1)
+    logits = jnp.asarray(rs.randn(3, 7, 512).astype(np.float32))
+    g = jax.random.gumbel(key, logits.shape, jnp.float32)
+    ids, sel = fused_categorical(0, logits, interpret=True, gumbel=g)
+    assert ids.shape == (3, 7) and sel.shape == (3, 7)
+    assert (np.asarray(ids) == np.asarray(jnp.argmax(logits + g, -1))).all()
