@@ -399,16 +399,32 @@ class MaskGitTransformer(ModelMixin):
 
                 key, sample_key, mask_key = jax.random.split(key, 3)
                 logits32 = logits.astype(jnp.float32)
-                sampled_ids = jax.random.categorical(sample_key, logits32, axis=-1)
-                unknown_map = ids == cfg.mask_token_id
-                sampled_ids = jnp.where(unknown_map, sampled_ids, ids)
+                from .transformer_v2 import _use_pallas_sample
 
-                # softmax-then-gather without the full (B, S, V) probs tensor
-                # (same HBM-saving identity as v2's parallel_decode_loop)
-                sel_logit = jnp.take_along_axis(logits32, sampled_ids[..., None],
-                                                axis=-1)[..., 0]
-                selected_probs = jnp.exp(
-                    sel_logit - jax.nn.logsumexp(logits32, axis=-1))
+                if _use_pallas_sample() and logits32.shape[-1] % 128 == 0:
+                    # fused streaming sample+confidence kernel (see
+                    # parallel_decode_loop in transformer_v2.py)
+                    from ..ops.pallas.fused_sample import fused_categorical
+
+                    seed = jax.random.randint(sample_key, (), 0, 2 ** 31 - 1,
+                                              jnp.int32)
+                    sampled_ids, selected_probs = fused_categorical(
+                        seed, logits32)
+                    unknown_map = ids == cfg.mask_token_id
+                    sampled_ids = jnp.where(unknown_map, sampled_ids, ids)
+                else:
+                    sampled_ids = jax.random.categorical(sample_key, logits32,
+                                                         axis=-1)
+                    unknown_map = ids == cfg.mask_token_id
+                    sampled_ids = jnp.where(unknown_map, sampled_ids, ids)
+                    # softmax-then-gather without the full (B, S, V) probs
+                    # tensor (same HBM-saving identity as v2's
+                    # parallel_decode_loop); merged-id gather is fine — known
+                    # positions are overwritten just below
+                    sel_logit = jnp.take_along_axis(
+                        logits32, sampled_ids[..., None], axis=-1)[..., 0]
+                    selected_probs = jnp.exp(
+                        sel_logit - jax.nn.logsumexp(logits32, axis=-1))
                 selected_probs = jnp.where(unknown_map, selected_probs,
                                            jnp.finfo(jnp.float32).max)
                 mask_len = jnp.floor(seq_len * mask_ratios[step])
