@@ -410,6 +410,17 @@ def _use_pallas_sample() -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _use_pallas_sample_cfg() -> bool:
+    """Fold the CFG combine + vocab crop + fp32 convert INTO the sampling
+    kernel (fused_categorical_cfg): the combined fp32 logits tensor never
+    exists in HBM.  Opt-in (MUSE_TPU_PALLAS_SAMPLE_CFG=1) pending a measured
+    e2e win; see STATUS.md."""
+    import os
+
+    return (os.environ.get("MUSE_TPU_PALLAS_SAMPLE_CFG", "0") == "1"
+            and jax.default_backend() == "tpu")
+
+
 def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
                          key, temperatures, guidance_scales, mask_ratios, *,
                          use_cfg: bool, seq_len: int, timesteps: int,
@@ -422,26 +433,42 @@ def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
     def step(carry, step_idx):
         ids, key = carry
         model_input = jnp.concatenate([ids, ids], axis=0) if use_cfg else ids
-        logits = apply_fn({"params": params}, model_input, ehs, conds, micros)
-        logits = logits[..., : cfg.codebook_size].astype(jnp.float32)
-        if use_cfg:
-            cond_logits, uncond_logits = jnp.split(logits, 2, axis=0)
-            logits = uncond_logits + guidance_scales[step_idx] * (
-                cond_logits - uncond_logits)
+        raw_logits = apply_fn({"params": params}, model_input, ehs, conds,
+                              micros)
 
         key, sample_key, mask_key = jax.random.split(key, 3)
-        if _use_pallas_sample():
-            # one streaming pass over the logits: on-chip gumbel + argmax +
-            # online-logsumexp confidence (ops/pallas/fused_sample.py);
-            # distributionally equivalent to the XLA path below
-            from ..ops.pallas.fused_sample import fused_categorical
+        if use_cfg and _use_pallas_sample_cfg():
+            # everything after the model — vocab crop, fp32 convert, CFG
+            # split+combine, gumbel sample, confidence — in ONE streaming
+            # kernel over the raw bf16 logits; none of those intermediates
+            # touch HBM (ops/pallas/fused_sample.fused_categorical_cfg)
+            from ..ops.pallas.fused_sample import fused_categorical_cfg
 
             seed = jax.random.randint(sample_key, (), 0, 2 ** 31 - 1,
                                       jnp.int32)
-            sampled_ids, sampled_sel = fused_categorical(seed, logits)
+            sampled_ids, sampled_sel = fused_categorical_cfg(
+                seed, raw_logits, guidance_scales[step_idx],
+                cfg.codebook_size)
+            logits = None
         else:
-            sampled_ids = jax.random.categorical(sample_key, logits, axis=-1)
-            sampled_sel = None
+            logits = raw_logits[..., : cfg.codebook_size].astype(jnp.float32)
+            if use_cfg:
+                cond_logits, uncond_logits = jnp.split(logits, 2, axis=0)
+                logits = uncond_logits + guidance_scales[step_idx] * (
+                    cond_logits - uncond_logits)
+            if _use_pallas_sample():
+                # one streaming pass over the combined logits: on-chip gumbel
+                # + argmax + online-logsumexp confidence; distributionally
+                # equivalent to the XLA path below
+                from ..ops.pallas.fused_sample import fused_categorical
+
+                seed = jax.random.randint(sample_key, (), 0, 2 ** 31 - 1,
+                                          jnp.int32)
+                sampled_ids, sampled_sel = fused_categorical(seed, logits)
+            else:
+                sampled_ids = jax.random.categorical(sample_key, logits,
+                                                     axis=-1)
+                sampled_sel = None
         # intermediate frames record the RAW samples, before already-known
         # tokens are restored (reference modeling_transformer_v2.py:447-450)
         raw_sampled_ids = sampled_ids

@@ -31,7 +31,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_categorical"]
+__all__ = ["fused_categorical", "fused_categorical_cfg"]
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _kernel(seed_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
@@ -163,4 +165,138 @@ def fused_categorical(seed, logits, block_n: int = 256, block_v: int = 2048,
     )(*inputs)
     ids = ids[:n, 0].reshape(orig_shape)
     sel = sel[:n, 0].reshape(orig_shape)
+    return ids, sel
+
+
+def _cfg_kernel(seed_ref, g_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
+                vocab_limit: int, onchip_rng: bool):
+    if onchip_rng:
+        noise_ref = None
+        (ids_ref, sel_ref, best_score, best_idx, best_logit, run_m,
+         run_s) = rest
+    else:
+        (noise_ref, ids_ref, sel_ref, best_score, best_idx, best_logit,
+         run_m, run_s) = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_score[...] = jnp.full_like(best_score, -jnp.inf)
+        best_idx[...] = jnp.zeros_like(best_idx)
+        best_logit[...] = jnp.full_like(best_logit, -jnp.inf)
+        run_m[...] = jnp.full_like(run_m, -jnp.inf)
+        run_s[...] = jnp.zeros_like(run_s)
+
+    # CFG combine on the fly: cond/uncond halves arrive in one (2, n, v)
+    # block; the combined fp32 logits never exist in HBM
+    xc = x_ref[0].astype(jnp.float32)
+    xu = x_ref[1].astype(jnp.float32)
+    g = g_ref[0]
+    x = xu + g * (xc - xu)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + j * block_v
+    # one mask handles the codebook crop (vocab 8256 -> 8192) AND the
+    # non-divisible final v-block padding
+    x = jnp.where(col_iota < vocab_limit, x, _NEG_INF)
+
+    if onchip_rng:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * n_v_blocks + j)
+        bits = pltpu.prng_random_bits(x.shape).astype(jnp.uint32)
+        b24 = (bits >> 8).astype(jnp.int32)
+        u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+        gumb = -jnp.log(-jnp.log(u))
+    else:
+        gumb = noise_ref[...]
+    score = jnp.where(col_iota < vocab_limit, x + gumb, -jnp.inf)
+
+    tile_best = jnp.max(score, axis=1, keepdims=True)
+    is_best = score == tile_best
+    arg_local = jnp.min(jnp.where(is_best, col_iota, vocab_limit),
+                        axis=1, keepdims=True)
+    logit_at = jnp.max(jnp.where(is_best, x, -jnp.inf), axis=1, keepdims=True)
+    upd = tile_best > best_score[...]
+    best_idx[...] = jnp.where(upd, arg_local.astype(jnp.int32), best_idx[...])
+    best_logit[...] = jnp.where(upd, logit_at, best_logit[...])
+    best_score[...] = jnp.maximum(best_score[...], tile_best)
+
+    tile_m = jnp.max(x, axis=1, keepdims=True)
+    new_m = jnp.maximum(run_m[...], tile_m)
+    run_s[...] = run_s[...] * jnp.exp(run_m[...] - new_m) + \
+        jnp.sum(jnp.exp(x - new_m), axis=1, keepdims=True)
+    run_m[...] = new_m
+
+    @pl.when(j == n_v_blocks - 1)
+    def _finish():
+        ids_ref[...] = best_idx[...]
+        lse = run_m[...] + jnp.log(run_s[...])
+        sel_ref[...] = jnp.exp(best_logit[...] - lse)
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_limit", "block_n",
+                                             "block_v", "interpret"))
+def fused_categorical_cfg(seed, logits, guidance, vocab_limit: int,
+                          block_n: int = 256, block_v: int = 2048,
+                          interpret: bool = False, gumbel=None):
+    """CFG + crop + sample + confidence in ONE streaming pass.
+
+    logits: (2B, S, V_raw) raw model output (any float dtype), first half
+    cond / second half uncond (the decode loop's concat order).  Equivalent
+    to: combined = uncond + guidance*(cond - uncond) over
+    logits[..., :vocab_limit].astype(f32), then categorical + softmax-gather
+    — but the combined fp32 tensor, the vocab crop and the cond/uncond split
+    copies never touch HBM.
+    """
+    two_b, s, v_raw = logits.shape
+    b = two_b // 2
+    n = b * s
+    x = logits.reshape(2, n, v_raw)
+    block_n = min(block_n, n)
+    pad_n = (-n) % block_n
+    if pad_n:
+        x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
+    block_v = min(block_v, v_raw)
+    n_v_blocks = -(-v_raw // block_v)  # ceil: final block masked in-kernel
+    grid = (x.shape[1] // block_n, n_v_blocks)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    guidance = jnp.asarray(guidance, jnp.float32).reshape(1)
+    onchip_rng = gumbel is None
+    inputs = [seed, guidance, x]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((2, block_n, block_v), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if not onchip_rng:
+        gf = gumbel.reshape(n, v_raw).astype(jnp.float32)
+        if pad_n:
+            gf = jnp.pad(gf, ((0, pad_n), (0, 0)))
+        inputs.append(gf)
+        in_specs.append(pl.BlockSpec((block_n, block_v), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+    ids, sel = pl.pallas_call(
+        functools.partial(_cfg_kernel, n_v_blocks=n_v_blocks, block_v=block_v,
+                          vocab_limit=vocab_limit, onchip_rng=onchip_rng),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((x.shape[1], 1), jnp.int32),
+            jax.ShapeDtypeStruct((x.shape[1], 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, 1), jnp.int32),
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    ids = ids[:n, 0].reshape(b, s)
+    sel = sel[:n, 0].reshape(b, s)
     return ids, sel

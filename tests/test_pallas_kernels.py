@@ -95,3 +95,29 @@ def test_fused_categorical_row_padding():
     ids, sel = fused_categorical(0, logits, interpret=True, gumbel=g)
     assert ids.shape == (3, 7) and sel.shape == (3, 7)
     assert (np.asarray(ids) == np.asarray(jnp.argmax(logits + g, -1))).all()
+
+
+def test_fused_categorical_cfg_exact_with_explicit_noise():
+    """The CFG-fused kernel must equal crop->f32->combine->gumbel-argmax->
+    softmax-gather exactly when given explicit noise (incl. the non-divisible
+    8256-wide raw vocab and bf16 inputs)."""
+    import jax
+
+    from open_muse_tpu.ops.pallas.fused_sample import fused_categorical_cfg
+
+    rs = np.random.RandomState(0)
+    B, S, VRAW, VLIM = 3, 50, 8256, 8192
+    logits = jnp.asarray(rs.randn(2 * B, S, VRAW).astype(np.float32) * 2
+                         ).astype(jnp.bfloat16)
+    g = 7.5
+    noise = jax.random.gumbel(jax.random.PRNGKey(0), (B, S, VRAW), jnp.float32)
+    ids, sel = fused_categorical_cfg(0, logits, g, VLIM, interpret=True,
+                                     gumbel=noise)
+    lf = logits.astype(jnp.float32)[..., :VLIM]
+    comb = lf[B:] + g * (lf[:B] - lf[B:])
+    ref_ids = jnp.argmax(comb + noise[..., :VLIM], -1)
+    assert (np.asarray(ids) == np.asarray(ref_ids)).all()
+    ref_sel = jnp.take_along_axis(jax.nn.softmax(comb, -1),
+                                  ref_ids[..., None], -1)[..., 0]
+    np.testing.assert_allclose(np.asarray(sel), np.asarray(ref_sel),
+                               atol=1e-5, rtol=1e-4)
