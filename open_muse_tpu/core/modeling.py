@@ -43,8 +43,17 @@ def resolve_pretrained_path(name_or_path: str) -> str:
     instead of a stack of connection retries."""
     if os.path.isdir(name_or_path):
         return name_or_path
-    looks_like_repo = name_or_path.count("/") <= 1 and not \
-        name_or_path.startswith((".", "/", "~"))
+    # Only strict "org/name" ids route to the hub — a typo'd local path like
+    # "ckpts/run1" (trailing sep, dots, or a parent dir that exists locally)
+    # should fail fast instead of attempting a slow network download.
+    parts = name_or_path.split("/")
+    looks_like_repo = (
+        len(parts) <= 2
+        and all(parts)
+        and not name_or_path.startswith((".", "/", "~"))
+        and not name_or_path.endswith("/")
+        and not (len(parts) == 2 and os.path.isdir(parts[0]))
+    )
     if not looks_like_repo:
         raise EnvironmentError(f"{name_or_path} is not a local directory")
     try:

@@ -401,9 +401,10 @@ class MaskGitTransformer(ModelMixin):
                 logits32 = logits.astype(jnp.float32)
                 from .transformer_v2 import _use_pallas_sample
 
-                if _use_pallas_sample() and logits32.shape[-1] % 128 == 0:
+                if _use_pallas_sample():
                     # fused streaming sample+confidence kernel (see
-                    # parallel_decode_loop in transformer_v2.py)
+                    # parallel_decode_loop in transformer_v2.py); handles any
+                    # vocab via ceil-div v-blocks + in-kernel masking
                     from ..ops.pallas.fused_sample import fused_categorical
 
                     seed = jax.random.randint(sample_key, (), 0, 2 ** 31 - 1,

@@ -19,7 +19,10 @@ VMEM, generating gumbel noise on-chip (pltpu PRNG) and tracking, per row:
 
 Distributionally equivalent to jax.random.categorical (the gumbel-max
 trick), NOT bitwise: the noise comes from the TPU PRNG seeded from the
-caller's key, not threefry. Opt-in via MUSE_TPU_PALLAS_SAMPLE=1 (TPU only).
+caller's key, not threefry — decode outputs differ from the XLA path for
+the same key. Default-ON on TPU; opt out with MUSE_TPU_PALLAS_SAMPLE=0
+(and MUSE_TPU_PALLAS_SAMPLE_CFG=0 for the CFG-fused variant) to restore
+the bit-reproducible XLA tail.
 """
 
 from __future__ import annotations
@@ -37,7 +40,7 @@ _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _kernel(seed_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
-            onchip_rng: bool):
+            vocab_limit: int, onchip_rng: bool):
     if onchip_rng:
         noise_ref = None
         (ids_ref, sel_ref, best_score, best_idx, best_logit, run_m,
@@ -56,6 +59,10 @@ def _kernel(seed_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
         run_s[...] = jnp.zeros_like(run_s)
 
     x = x_ref[...].astype(jnp.float32)  # (block_n, block_v)
+    # ceil-div v-blocks: columns past the true vocab (final partial block,
+    # or a lane-rounded block for small vocabs) are masked out in-kernel
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + j * block_v
+    x = jnp.where(col_iota < vocab_limit, x, _NEG_INF)
 
     if onchip_rng:
         # on-chip gumbel noise; seed is unique per (row-block, v-block) so
@@ -69,19 +76,17 @@ def _kernel(seed_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
         g = -jnp.log(-jnp.log(u))
     else:
         g = noise_ref[...]  # pre-drawn gumbel (tests / interpret mode)
-    score = x + g
+    score = jnp.where(col_iota < vocab_limit, x + g, -jnp.inf)
 
     # per-row tile argmax of the perturbed logits; the raw logit at the
     # argmax is recovered with a where+max (Mosaic has no in-kernel gather)
     tile_best = jnp.max(score, axis=1, keepdims=True)
     is_best = score == tile_best
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-    arg_local = jnp.min(jnp.where(is_best, col_iota, score.shape[1]),
+    arg_local = jnp.min(jnp.where(is_best, col_iota, vocab_limit),
                         axis=1, keepdims=True)
-    col = arg_local + j * block_v
     logit_at = jnp.max(jnp.where(is_best, x, -jnp.inf), axis=1, keepdims=True)
     upd = tile_best > best_score[...]
-    best_idx[...] = jnp.where(upd, col.astype(jnp.int32), best_idx[...])
+    best_idx[...] = jnp.where(upd, arg_local.astype(jnp.int32), best_idx[...])
     best_logit[...] = jnp.where(upd, logit_at, best_logit[...])
     best_score[...] = jnp.maximum(best_score[...], tile_best)
 
@@ -116,13 +121,13 @@ def fused_categorical(seed, logits, block_n: int = 256, block_v: int = 2048,
         n *= d
     x = logits.reshape(n, v).astype(jnp.float32)
     block_n = min(block_n, n)
-    block_v = min(block_v, v)
+    # lane-aligned v-block; any vocab works — the final (or only) block is
+    # ceil-div sized and masked to the true vocab in-kernel
+    block_v = min(block_v, -(-v // 128) * 128)
     pad_n = (-n) % block_n
     if pad_n:
         x = jnp.pad(x, ((0, pad_n), (0, 0)))
-    if v % block_v:
-        raise ValueError(f"vocab {v} must be a multiple of block_v {block_v}")
-    n_v_blocks = v // block_v
+    n_v_blocks = -(-v // block_v)
     grid = (x.shape[0] // block_n, n_v_blocks)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     onchip_rng = gumbel is None
@@ -141,7 +146,7 @@ def fused_categorical(seed, logits, block_n: int = 256, block_v: int = 2048,
                                      memory_space=pltpu.VMEM))
     ids, sel = pl.pallas_call(
         functools.partial(_kernel, n_v_blocks=n_v_blocks, block_v=block_v,
-                          onchip_rng=onchip_rng),
+                          vocab_limit=v, onchip_rng=onchip_rng),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -253,7 +258,7 @@ def fused_categorical_cfg(seed, logits, guidance, vocab_limit: int,
     pad_n = (-n) % block_n
     if pad_n:
         x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
-    block_v = min(block_v, v_raw)
+    block_v = min(block_v, -(-v_raw // 128) * 128)  # lane-aligned
     n_v_blocks = -(-v_raw // block_v)  # ceil: final block masked in-kernel
     grid = (x.shape[1] // block_n, n_v_blocks)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)

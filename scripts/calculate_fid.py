@@ -28,9 +28,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def generate_and_save_images(pipe, captions, output_dir, batch_size, timesteps,
-                             guidance_scale, seed: int = 0):
+                             guidance_scale, seed: int = 0,
+                             global_indices=None):
+    """Generate and save images named by GLOBAL caption index.
+
+    With --num-tasks N sharding, every task writes into the same output dir
+    (the fid_pod.sh wait-then-score flow scores that dir on worker 0), so
+    filenames must be globally unique across tasks — the reference names
+    images by dataset __key__ (reference scripts/calculate_fid.py:163-166).
+    `global_indices[i]` is the position of captions[i] in the unsharded list.
+    """
     import jax
 
+    if global_indices is None:
+        global_indices = list(range(len(captions)))
     os.makedirs(output_dir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
@@ -40,7 +51,8 @@ def generate_and_save_images(pipe, captions, output_dir, batch_size, timesteps,
         images = pipe(list(chunk), timesteps=timesteps, guidance_scale=guidance_scale,
                       key=step_key)
         for i, img in enumerate(images):
-            img.save(os.path.join(output_dir, f"{start + i:06d}.png"))
+            img.save(os.path.join(
+                output_dir, f"{global_indices[start + i]:06d}.png"))
     dt = time.time() - t0
     print(f"generated {len(captions)} images in {dt:.1f}s "
           f"({len(captions) / max(dt, 1e-9):.2f} img/s)")
@@ -122,14 +134,17 @@ def main(argv=None):
         with open(args.captions) as f:
             captions = [line.strip() for line in f if line.strip()]
     all_captions = captions[: args.num_images]
-    # per-task shard (reference SLURM sharding, calculate_fid.py:74-142)
+    # per-task shard (reference SLURM sharding, calculate_fid.py:74-142);
+    # keep the global index of each sharded caption for collision-free names
+    global_indices = list(range(len(all_captions)))[args.task_id::args.num_tasks]
     captions = all_captions[args.task_id::args.num_tasks]
 
     if captions:
         pipe = PipelineMuse.from_pretrained(args.model)
         generate_and_save_images(pipe, captions, args.output_dir,
                                  args.batch_size, args.timesteps,
-                                 args.guidance_scale, seed=args.task_id)
+                                 args.guidance_scale, seed=args.task_id,
+                                 global_indices=global_indices)
 
     if args.real_dir and args.num_tasks == 1:
         compute_fid(args.real_dir, args.output_dir, clip_model=args.clip_model)

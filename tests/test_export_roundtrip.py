@@ -87,3 +87,15 @@ def test_resolve_pretrained_path_hub_readiness(tmp_path):
     with pytest.raises(EnvironmentError,
                        match="stage_reference_checkpoint|hub"):
         resolve_pretrained_path("openMUSE/does-not-exist-xyz")
+    # typo'd local-looking paths must fail FAST, not attempt a download
+    # (ADVICE r2): trailing sep, existing parent dir, dot-relative
+    with pytest.raises(EnvironmentError, match="not a local directory"):
+        resolve_pretrained_path("openMUSE/does-not-exist-xyz/")
+    import os
+
+    (tmp_path / "ckpts").mkdir()
+    os.chdir(tmp_path)
+    with pytest.raises(EnvironmentError, match="not a local directory"):
+        resolve_pretrained_path("ckpts/run1")
+    with pytest.raises(EnvironmentError, match="not a local directory"):
+        resolve_pretrained_path("./whatever")

@@ -97,6 +97,28 @@ def test_fused_categorical_row_padding():
     assert (np.asarray(ids) == np.asarray(jnp.argmax(logits + g, -1))).all()
 
 
+def test_fused_categorical_non_divisible_vocab():
+    """Vocabs that are not a multiple of block_v (e.g. codebook 3072) and
+    not lane-aligned (e.g. 1000) must work via ceil-div v-blocks with
+    in-kernel column masking — not raise at trace time (ADVICE r2)."""
+    import jax
+
+    from open_muse_tpu.ops.pallas.fused_sample import fused_categorical
+
+    for vocab in (3072, 1000):
+        rs = np.random.RandomState(vocab)
+        logits = jnp.asarray(rs.randn(2, 9, vocab).astype(np.float32) * 2)
+        g = jax.random.gumbel(jax.random.PRNGKey(vocab), logits.shape,
+                              jnp.float32)
+        ids, sel = fused_categorical(0, logits, interpret=True, gumbel=g)
+        ref_ids = jnp.argmax(logits + g, -1)
+        assert (np.asarray(ids) == np.asarray(ref_ids)).all(), vocab
+        ref_sel = jnp.take_along_axis(jax.nn.softmax(logits, -1),
+                                      ref_ids[..., None], -1)[..., 0]
+        np.testing.assert_allclose(np.asarray(sel), np.asarray(ref_sel),
+                                   atol=1e-6, rtol=1e-5)
+
+
 def test_fused_categorical_cfg_exact_with_explicit_noise():
     """The CFG-fused kernel must equal crop->f32->combine->gumbel-argmax->
     softmax-gather exactly when given explicit noise (incl. the non-divisible

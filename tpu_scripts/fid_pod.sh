@@ -12,6 +12,9 @@ source "$(dirname "$0")/common.sh"
 
 TPU_NAME=${1:?} ZONE=${2:?} MODEL=${3:?} CAPTIONS=${4:?} OUT=${5:?}
 REAL_DIR=${6:-}
+# Max seconds to wait for any single host's generation before giving up
+# (covers SSH drops / OOM kills / reboots that never write the .done file).
+MAX_WAIT_SECS=${MUSE_FID_MAX_WAIT_SECS:-21600}
 
 N_HOSTS=$(tpu_host_count "${TPU_NAME}" "${ZONE}")
 
@@ -36,9 +39,28 @@ if [[ -n "${REAL_DIR}" ]]; then
           "wait-for fid_gen_${i}.done == 0"  # prints the wait plan
       continue
     fi
+    waited=0
     while rc=$(tpu_ssh "${TPU_NAME}" "${ZONE}" "${i}" \
         "cat ~/muse-tpu/fid_gen_${i}.done 2>/dev/null"); [[ -z "${rc}" ]]; do
+      if (( waited >= MAX_WAIT_SECS )); then
+        echo "!! host ${i} generation did not finish within ${MAX_WAIT_SECS}s" \
+             "(no fid_gen_${i}.done); check fid_gen_${i}.log on that host" >&2
+        exit 1
+      fi
+      # fail fast if the nohup'd process died without writing its .done file
+      alive=$(tpu_ssh "${TPU_NAME}" "${ZONE}" "${i}" \
+          "pgrep -f 'calculate_fid.py.*--task-id ${i} ' >/dev/null 2>&1 && echo y" || true)
+      if [[ -z "${alive}" ]]; then
+        # one grace re-check: the process may have exited between polls
+        rc=$(tpu_ssh "${TPU_NAME}" "${ZONE}" "${i}" \
+            "cat ~/muse-tpu/fid_gen_${i}.done 2>/dev/null" || true)
+        [[ -n "${rc}" ]] && break
+        echo "!! host ${i} generation process is gone without a .done file;" \
+             "see fid_gen_${i}.log on that host" >&2
+        exit 1
+      fi
       sleep 60
+      waited=$((waited + 60))
     done
     if [[ "${rc}" != "0" ]]; then
       echo "!! generation failed on host ${i} (exit ${rc}); see fid_gen_${i}.log" >&2
