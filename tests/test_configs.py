@@ -11,7 +11,11 @@ import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "*.yaml")))
-SHARD_LISTS = {"m4_shards.yaml", "sdxl_synthetic_dataset_shards.yaml"}
+SHARD_LISTS = {
+    "m4_shards.yaml",
+    "sdxl_synthetic_dataset_shards.yaml",
+    "laion-aesthetic-475-max-1024-joined-with-stability-metadata-laicov2_shards.yaml",
+}
 
 
 def _train_configs():
