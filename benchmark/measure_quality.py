@@ -38,14 +38,25 @@ ARTIFACTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def write_rows(rows, out_path):
+    """Merge new rows into the artifact CSV: a row replaces an existing row
+    with the same (protocol, metric); rows from other protocols/runs are
+    kept, so scaled re-runs accumulate instead of erasing each other."""
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     fields = ["protocol", "metric", "value", "extractor", "n_images", "notes"]
+    existing = []
+    if os.path.exists(out_path):
+        with open(out_path, newline="") as f:
+            existing = list(csv.DictReader(f))
+    new_keys = {(r["protocol"], r["metric"]) for r in rows}
+    merged = [r for r in existing
+              if (r.get("protocol"), r.get("metric")) not in new_keys] + rows
     with open(out_path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=fields)
+        w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
         w.writeheader()
-        for r in rows:
+        for r in merged:
             w.writerow(r)
-    print(f"wrote {out_path} ({len(rows)} rows)")
+    print(f"wrote {out_path} ({len(rows)} new/updated rows, "
+          f"{len(merged)} total)")
 
 
 def regression_mode(args):
@@ -53,7 +64,8 @@ def regression_mode(args):
 
     m = run_quality_regression(train_steps=args.train_steps,
                                vq_steps=args.vq_steps, n_eval=args.n_eval,
-                               seed=args.seed)
+                               seed=args.seed,
+                               inception=args.inception_seeded)
     proto = f"tiny-regression(seed={args.seed},steps={args.train_steps})"
     seeded = "clip_vit_seeded(NOT a published metric; deterministic)"
     rows = [
@@ -81,6 +93,22 @@ def regression_mode(args):
              n_images=0,
              notes=f"from {m['train_loss_first']:.4f} at step 0"),
     ]
+    if args.inception_seeded:
+        inc_label = "inception_v3_seeded(NOT a published metric; deterministic)"
+        rows += [
+            dict(protocol=proto, metric="fid_inception_seeded_trained",
+                 value=round(m["fid_inception_seeded_trained"], 3),
+                 extractor=inc_label, n_images=int(m["n_eval"]),
+                 notes="reference FID protocol graph, seeded weights"),
+            dict(protocol=proto, metric="fid_inception_seeded_untrained",
+                 value=round(m["fid_inception_seeded_untrained"], 3),
+                 extractor=inc_label, n_images=int(m["n_eval"]),
+                 notes="untrained baseline (must be >> trained)"),
+            dict(protocol=proto, metric="isc_seeded_trained",
+                 value=round(m["isc_seeded_trained"], 3),
+                 extractor=inc_label, n_images=int(m["n_eval"]),
+                 notes=f"std {m['isc_seeded_trained_std']:.3f}"),
+        ]
     ok = (m["fid_clipfeat_seeded_trained"] < m["fid_clipfeat_seeded_untrained"]
           and m["color_accuracy_trained"] > 0.9)
     print(f"regression {'PASS' if ok else 'FAIL'}: "
@@ -124,19 +152,79 @@ def pipeline_mode(args):
         label = "clip_vit_seeded(NOT a published metric; deterministic)"
         fid_metric, cs_metric = "fid_clipfeat_seeded", "clip_score_seeded"
 
-    real = load_image_dir(args.real_dir, limit=len(images))
-    fid = fid_between_image_sets(real, images, extractor)
     proto = (f"pipeline({os.path.basename(os.path.normpath(args.pipeline))},"
              f"cfg={args.cfg},steps={args.timesteps})")
-    rows = [dict(protocol=proto, metric=fid_metric, value=round(fid, 3),
-                 extractor=label, n_images=len(images),
-                 notes=f"vs {args.real_dir}")]
+    rows = []
+    if args.real_dir:
+        real = load_image_dir(args.real_dir, limit=len(images))
+        fid = fid_between_image_sets(real, images, extractor)
+        rows.append(dict(protocol=proto, metric=fid_metric,
+                         value=round(fid, 3), extractor=label,
+                         n_images=len(images), notes=f"vs {args.real_dir}"))
+        print(f"pipeline quality: {fid_metric}={fid:.2f} "
+              f"over {len(images)} images")
+    if args.self_fid:
+        # split-half self-FID: two disjoint same-distribution halves — the
+        # FID estimator's noise floor at this n (should be small); protocol-
+        # scale machinery evidence when no real set is reachable offline
+        half = len(images) // 2
+        sfid = fid_between_image_sets(images[:half], images[half:2 * half],
+                                      extractor)
+        rows.append(dict(protocol=proto, metric=f"{fid_metric}_selfhalf",
+                         value=round(sfid, 3), extractor=label,
+                         n_images=2 * half,
+                         notes="split-half self-FID (estimator noise floor)"))
+        print(f"pipeline quality: self-half {fid_metric}={sfid:.2f} "
+              f"(n={2 * half})")
     if scorer is not None:
         cs = clip_score(scorer, images, captions)
         rows.append(dict(protocol=proto, metric=cs_metric,
                          value=round(cs, 3), extractor=label,
                          n_images=len(images), notes="vs captions"))
-    print(f"pipeline quality: {fid_metric}={fid:.2f} over {len(images)} images")
+
+    inc = None
+    if args.inception_weights:
+        from open_muse_tpu.eval.inception import InceptionFeatureExtractor
+
+        inc = InceptionFeatureExtractor.from_torch_checkpoint(
+            args.inception_weights)
+        inc_label = inc.label
+        inc_fid_metric = "fid_inception"
+    elif args.inception_seeded:
+        from open_muse_tpu.eval.inception import InceptionFeatureExtractor
+
+        inc = InceptionFeatureExtractor.seeded(seed=1234)
+        inc_label = ("inception_v3_seeded(NOT a published metric; "
+                     "deterministic)")
+        inc_fid_metric = "fid_inception_seeded"
+    if inc is not None:
+        from open_muse_tpu.eval.inception_score import (
+            inception_score_from_logits)
+        import numpy as np
+
+        if args.real_dir:
+            real = load_image_dir(args.real_dir, limit=len(images))
+            ifid = fid_between_image_sets(real, images, inc)
+            rows.append(dict(protocol=proto, metric=inc_fid_metric,
+                             value=round(ifid, 3), extractor=inc_label,
+                             n_images=len(images),
+                             notes=f"vs {args.real_dir}"))
+        if args.self_fid:
+            half = len(images) // 2
+            isfid = fid_between_image_sets(images[:half],
+                                           images[half:2 * half], inc)
+            rows.append(dict(protocol=proto,
+                             metric=f"{inc_fid_metric}_selfhalf",
+                             value=round(isfid, 3), extractor=inc_label,
+                             n_images=2 * half,
+                             notes="split-half self-FID"))
+        probs = inc.predict_proba(images)
+        isc_mean, isc_std = inception_score_from_logits(
+            np.log(probs + 1e-20))
+        isc_metric = ("isc" if args.inception_weights else "isc_seeded")
+        rows.append(dict(protocol=proto, metric=isc_metric,
+                         value=round(isc_mean, 3), extractor=inc_label,
+                         n_images=len(images), notes=f"std {isc_std:.3f}"))
     return rows, True
 
 
@@ -146,6 +234,16 @@ def main(argv=None):
     p.add_argument("--captions", default=None)
     p.add_argument("--real-dir", default=None)
     p.add_argument("--clip-model", default=None)
+    p.add_argument("--inception-weights", default=None,
+                   help="torchvision/pytorch-fid inception .pth: enables the "
+                        "published FID/ISC protocol (fid_inception, isc)")
+    p.add_argument("--inception-seeded", action="store_true",
+                   help="also score through the InceptionV3 graph with "
+                        "seeded weights (regression numbers)")
+    p.add_argument("--self-fid", action="store_true",
+                   help="score split-half self-FID of the generated set "
+                        "(FID-estimator noise floor; for offline runs with "
+                        "no real set)")
     p.add_argument("--train-steps", type=int, default=200)
     p.add_argument("--vq-steps", type=int, default=150)
     p.add_argument("--n-eval", type=int, default=30)
@@ -158,8 +256,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.pipeline:
-        if not (args.captions and args.real_dir):
-            p.error("--pipeline mode needs --captions and --real-dir")
+        if not args.captions or not (args.real_dir or args.self_fid):
+            p.error("--pipeline mode needs --captions and either "
+                    "--real-dir or --self-fid")
         rows, ok = pipeline_mode(args)
     else:
         rows, ok = regression_mode(args)

@@ -119,27 +119,34 @@ def _train_vq(vq, rs, steps: int, lr: float = 3e-3) -> float:
 
 
 def _sample(model, vq, text_encoder, tokenizer, prompts, key,
-            timesteps: int = 6) -> List[np.ndarray]:
+            timesteps: int = 6, batch_size: int = 16) -> List[np.ndarray]:
+    """Batched generation (fixed batch shapes -> one compiled program; the
+    tail batch is padded and cropped) so n_eval >= 1000 runs are practical."""
     import jax
     import jax.numpy as jnp
 
     seq_len = (RESOLUTION // vq.config.reduction_factor) ** 2
-    images = []
-    for i, prompt in enumerate(prompts):
-        ids = jnp.asarray(tokenizer([prompt])["input_ids"])
+    images: List[np.ndarray] = []
+    for start in range(0, len(prompts), batch_size):
+        chunk = prompts[start:start + batch_size]
+        n = len(chunk)
+        padded = chunk + [chunk[-1]] * (batch_size - n)
+        ids = jnp.asarray(tokenizer(padded)["input_ids"])
         hs, _, pooled = text_encoder.encode(ids)
+        micro = jnp.asarray([[RESOLUTION, RESOLUTION, 0, 0, 6.0]] * batch_size,
+                            jnp.float32)
         tokens = model.generate2(
-            hs[-2], pooled,
-            jnp.asarray([[RESOLUTION, RESOLUTION, 0, 0, 6.0]], jnp.float32),
+            hs[-2], pooled, micro,
             empty_embeds=hs[-2], empty_cond_embeds=pooled,
             timesteps=timesteps, guidance_scale=0.0, temperature=(1.0, 0.0),
-            seq_len=seq_len, key=jax.random.fold_in(key, i))
-        images.append(np.asarray(vq.decode_code(tokens))[0])
+            seq_len=seq_len, key=jax.random.fold_in(key, start))
+        images.extend(np.asarray(vq.decode_code(tokens))[:n])
     return images
 
 
 def run_quality_regression(train_steps: int = 200, vq_steps: int = 150,
                            n_eval: int = 30, seed: int = 0,
+                           inception: bool = False,
                            log=print) -> Dict[str, float]:
     """Train tiny stack, generate, score.  Returns measured metrics."""
     import jax
@@ -239,7 +246,27 @@ def run_quality_regression(train_steps: int = 200, vq_steps: int = 150,
         SimpleTokenizer(64, 8))
     cs_trained = clip_score(scorer, trained_images, prompts)
 
+    inception_metrics: Dict[str, float] = {}
+    if inception:
+        # same protocol through the InceptionV3 graph (seeded weights —
+        # regression number; becomes published FID/ISC with real weights)
+        log("stage 5: inception-graph scoring (seeded)")
+        from .inception import InceptionFeatureExtractor
+        from .inception_score import inception_score_from_logits
+
+        inc = InceptionFeatureExtractor.seeded(seed=1234, batch_size=64)
+        inception_metrics["fid_inception_seeded_trained"] = \
+            fid_between_image_sets(real_images, trained_images, inc)
+        inception_metrics["fid_inception_seeded_untrained"] = \
+            fid_between_image_sets(real_images, untrained_images, inc)
+        probs = inc.predict_proba(trained_images)
+        isc_mean, isc_std = inception_score_from_logits(
+            np.log(probs + 1e-20))
+        inception_metrics["isc_seeded_trained"] = isc_mean
+        inception_metrics["isc_seeded_trained_std"] = isc_std
+
     return {
+        **inception_metrics,
         "vq_recon_loss": recon_loss,
         "train_loss_first": first_loss,
         "train_loss_last": last_loss,
