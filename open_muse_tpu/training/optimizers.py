@@ -1,4 +1,4 @@
-"""Optimizers: adamw / fused adamw / 8-bit adamw analog / lion.
+"""Optimizers: adamw / fused adamw / 8-bit adamw / bf16-moment adamw / lion.
 
 Reference parity: training/train_muse.py:405-424 dispatches adamw,
 apex FusedAdam, bitsandbytes AdamW8bit and a hand-rolled Lion
@@ -6,9 +6,12 @@ apex FusedAdam, bitsandbytes AdamW8bit and a hand-rolled Lion
 
   * optax.adamw IS the fused adam — XLA fuses the update into one kernel, so
     "fused_adamw" is an alias;
-  * the 8-bit-optimizer analog keeps adam moments in low precision via
-    ``mu_dtype`` (bfloat16) — same memory-saving intent without CUDA
-    quantization kernels;
+  * "8bit_adamw" is a REAL 8-bit-state optimizer: blockwise int8 moments
+    with per-256-block absmax scales and a log-spaced dynamic codebook
+    (quant8.py) — the same ~4x optimizer-memory saving bitsandbytes
+    AdamW8bit gets, implemented as a pure optax/XLA transform;
+  * "bf16_adamw" keeps adam first moments in bfloat16 via ``mu_dtype``
+    (2x saving, zero quantization error — the lighter-touch option);
   * lion is optax.lion (sign-momentum, same math as training/optimizer.py:43-79).
 
 Weight-decay masking excludes biases, norms and embeddings
@@ -55,6 +58,11 @@ def get_optimizer(
         tx = optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=epsilon,
                          weight_decay=weight_decay, mask=decay_mask_fn)
     elif name == "8bit_adamw":
+        from .quant8 import adamw8bit
+
+        tx = adamw8bit(learning_rate, b1=beta1, b2=beta2, eps=epsilon,
+                       weight_decay=weight_decay, mask=decay_mask_fn)
+    elif name == "bf16_adamw":
         tx = optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=epsilon,
                          weight_decay=weight_decay, mask=decay_mask_fn,
                          mu_dtype=jnp.bfloat16)

@@ -92,11 +92,18 @@ def create_train_state(params, tx, mesh=None, with_ema: bool = False, rules=None
                     return rep
                 keys = tuple(str(getattr(k, "key", getattr(k, "name", k)))
                              for k in kp)
-                # longest-suffix match against the params tree, shape-checked
-                for i in range(len(keys)):
-                    hit = param_by_path.get(keys[i:])
-                    if hit is not None and hit[0] == shape:
-                        return hit[1]
+                # longest-suffix match against the params tree, shape-checked.
+                # trim=1 sees through container leaves whose fields append a
+                # path component below the param path — e.g. quant8.Quantized8
+                # codes at ".../kernel/[0]" shard like ".../kernel" (codes
+                # keep the param's shape by design; absmax fails the shape
+                # check and stays replicated, it is 1/256 the size).
+                for trim in (0, 1):
+                    kk = keys[:-trim] if trim else keys
+                    for i in range(len(kk)):
+                        hit = param_by_path.get(kk[i:])
+                        if hit is not None and hit[0] == shape:
+                            return hit[1]
                 return rep
 
             return jax.tree_util.tree_map_with_path(pick, tree)
