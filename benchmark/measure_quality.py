@@ -132,6 +132,11 @@ def pipeline_mode(args):
     pipe = PipelineMuse.from_pretrained(args.pipeline)
     with open(args.captions) as f:
         captions = [line.strip() for line in f if line.strip()]
+    if len(captions) < args.n_eval:
+        # cycle the prompt list to reach n_eval (images still differ: a
+        # fresh sampling key per batch); the reference's COCO protocol has
+        # 10k unique captions, offline prompt files are smaller
+        captions = (captions * (args.n_eval // len(captions) + 1))
     captions = captions[: args.n_eval]
     images = []
     key = jax.random.PRNGKey(args.seed)
