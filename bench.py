@@ -55,7 +55,61 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
+def _crosscheck_allcsv(median_ms, update=False):
+    """One-true-story discipline (round-3 verdict item 7): bench.py and
+    benchmark/muse_perf.py measure the same 256px/bs1/12-step config with
+    different harnesses.  Cross-check this run against the sweep's all.csv
+    row so drift gets caught mechanically; with ``update=True`` write the
+    fresh number back (and regenerate the README table off the same CSV).
+
+    Returns (all_csv_ms or None, drift_pct or None).
+    """
+    import csv
+    import os
+    import sys
+
+    csv_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmark", "artifacts", "all.csv")
+    if not os.path.exists(csv_path):
+        return None, None
+    with open(csv_path, newline="") as f:
+        reader = csv.DictReader(f)
+        fields = reader.fieldnames
+        rows = list(reader)
+    match = [r for r in rows
+             if r.get("model") == "muse_tpu" and r.get("resolution") == "256"
+             and r.get("batch_size") == str(BATCH)
+             and r.get("timesteps") == str(TIMESTEPS)
+             and "published" not in r.get("device", "")]
+    if not match:
+        return None, None
+    row = match[0]
+    all_csv_ms = float(row["median_ms"])
+    drift_pct = 100.0 * (median_ms - all_csv_ms) / all_csv_ms
+    if abs(drift_pct) > 10.0:
+        sys.stderr.write(
+            f"WARNING: bench.py ({median_ms:.1f} ms) vs all.csv "
+            f"({all_csv_ms:.1f} ms) diverge {drift_pct:+.1f}% (>10%); "
+            f"re-run benchmark/muse_perf.py or bench.py --update-allcsv\n")
+    if update:
+        row["median_ms"] = f"{median_ms:.1f}"
+        row["imgs_per_sec"] = f"{BATCH * 1000.0 / median_ms:.2f}"
+        with open(csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            w.writeheader()
+            w.writerows(rows)
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benchmark"))
+            import update_readme
+
+            update_readme.main([])
+        except Exception as e:  # README refresh is best-effort here
+            sys.stderr.write(f"README table refresh failed: {e}\n")
+    return all_csv_ms, drift_pct
+
+
+def main(update_allcsv=False):
     import jax
     import jax.numpy as jnp
 
@@ -118,12 +172,17 @@ def main():
     med = float(np.median(chain_ms))
     kept = [t for t in chain_ms if t <= 3 * med]
     median_ms = float(np.median(kept))
-    print(json.dumps({
+    all_csv_ms, drift_pct = _crosscheck_allcsv(median_ms, update=update_allcsv)
+    out = {
         "metric": "muse_256px_bs1_12step_e2e_latency",
         "value": round(median_ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / median_ms, 3),
-    }))
+    }
+    if all_csv_ms is not None:
+        out["all_csv_ms"] = round(all_csv_ms, 2)
+        out["drift_vs_all_csv_pct"] = round(drift_pct, 1)
+    print(json.dumps(out))
 
 
 def main_with_retries(attempts: int = 3, timeout_s: int = 1500):
@@ -133,11 +192,17 @@ def main_with_retries(attempts: int = 3, timeout_s: int = 1500):
     import subprocess
     import sys
 
+    inner_args = [sys.executable, __file__, "--inner"]
+    if "--update-allcsv" in sys.argv:
+        inner_args.append("--update-allcsv")
     for attempt in range(attempts):
         try:
-            proc = subprocess.run([sys.executable, __file__, "--inner"],
+            proc = subprocess.run(inner_args,
                                   capture_output=True, text=True,
                                   timeout=timeout_s)
+            for wline in proc.stderr.splitlines():
+                if wline.startswith("WARNING"):
+                    sys.stderr.write(wline + "\n")
             for line in proc.stdout.splitlines():
                 if line.startswith("{"):
                     print(line)
@@ -153,6 +218,6 @@ if __name__ == "__main__":
     import sys
 
     if "--inner" in sys.argv:
-        main()
+        main(update_allcsv="--update-allcsv" in sys.argv)
     else:
         raise SystemExit(main_with_retries())

@@ -15,7 +15,19 @@ run in a subprocess exactly like benchmark/muse_perf.py.
 Usage:
   python benchmark/bench_train_step.py [--batch-sizes 64 256] [--steps 8]
   python benchmark/bench_train_step.py --flops 64   # internal (CPU backend)
+  python benchmark/bench_train_step.py --sweep      # bs x remat curve ->
+                                                    # artifacts/train_throughput.csv
 Prints one JSON line per batch size.
+
+The --sweep mode (round-3 verdict item 3: a curve, not a point) runs each
+(batch, remat) case in its own subprocess with a timeout — the remote AOT
+compile helper reproducibly crashes on some large programs (bs128+, and
+historically the bs64 dots-policy); a crash or hang is recorded as an error
+row and the sweep continues.  Existing CSV rows are skipped, so an
+interrupted sweep resumes.  MFU is reported two ways: ``mfu_exec_pct`` from
+the FLOPs of the program as executed (recompute included — hardware
+utilization) and ``mfu_model_pct`` from the no-remat FLOPs of the same batch
+(useful work — the number comparable across remat policies).
 """
 
 from __future__ import annotations
@@ -130,10 +142,80 @@ def measure(batch_size: int, steps: int, remat: bool = False):
     return dt, n_params
 
 
+SWEEP_CASES = [  # (batch_size, remat) — ordered cheap-to-expensive
+    (16, "off"), (16, "dots"), (16, "full"),
+    (32, "off"), (32, "dots"), (32, "full"),
+    (64, "off"), (64, "dots"), (64, "full"),
+    (128, "full"),
+]
+SWEEP_FIELDS = ["batch_size", "remat", "device", "step_ms", "imgs_per_sec",
+                "tokens_per_sec", "params_m", "tflops_exec_est",
+                "tflops_model_est", "mfu_exec_pct", "mfu_model_pct",
+                "flops_source", "error"]
+
+
+def run_sweep(csv_path: str, steps: int, timeout_s: int) -> int:
+    """Each case in a fresh subprocess (crash/hang isolation), resumable."""
+    import csv
+
+    existing = {}
+    if os.path.isfile(csv_path):
+        with open(csv_path, newline="") as f:
+            existing = {(r["batch_size"], r["remat"]): r
+                        for r in csv.DictReader(f)}
+
+    def append(row):
+        existing[(str(row["batch_size"]), row["remat"])] = row
+        os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+        with open(csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=SWEEP_FIELDS,
+                               extrasaction="ignore")
+            w.writeheader()
+            for r in sorted(existing.values(),
+                            key=lambda r: (int(r["batch_size"]), r["remat"])):
+                w.writerow(r)
+
+    for bs, remat in SWEEP_CASES:
+        if (str(bs), remat) in existing:
+            print(f"# skip bs={bs} remat={remat} (already measured)")
+            continue
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--batch-sizes", str(bs), "--steps", str(steps)]
+        if remat != "off":
+            cmd += ["--remat", remat]
+        print(f"# running bs={bs} remat={remat} ...", flush=True)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=timeout_s)
+            row = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    row = json.loads(line)
+            if row is None:
+                row = {"batch_size": bs, "remat": remat,
+                       "error": f"no output (rc={proc.returncode}): "
+                                f"{proc.stderr[-200:]}"}
+        except subprocess.TimeoutExpired:
+            row = {"batch_size": bs, "remat": remat,
+                   "error": f"timeout after {timeout_s}s (compile wedged?)"}
+        row.setdefault("remat", remat)
+        row.setdefault("error", "")
+        append(row)
+        print(json.dumps(row), flush=True)
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-sizes", type=int, nargs="+", default=[64, 256])
     parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--sweep", action="store_true",
+                        help="run the (batch x remat) curve into "
+                             "artifacts/train_throughput.csv")
+    parser.add_argument("--sweep-csv", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        "train_throughput.csv"))
+    parser.add_argument("--case-timeout", type=int, default=2700)
     parser.add_argument("--remat", nargs="?", const="full",
                         choices=["full", "dots"], default=None,
                         help="gradient checkpointing: 'full' recomputes the "
@@ -145,6 +227,9 @@ def main(argv=None):
     parser.add_argument("--flops", type=int, metavar="BS",
                         help="print train-step FLOPs as JSON (CPU backend)")
     args = parser.parse_args(argv)
+
+    if args.sweep:
+        return run_sweep(args.sweep_csv, args.steps, args.case_timeout)
 
     if args.flops:
         import jax
@@ -172,19 +257,27 @@ def main(argv=None):
             print(json.dumps({"metric": "train_step", "batch_size": bs,
                               "error": str(e)[:300]}))
             continue
-        flops, source = flops_via_cpu_subprocess(bs, args.remat)
+        flops_exec, source = flops_via_cpu_subprocess(bs, args.remat)
+        flops_model = (flops_via_cpu_subprocess(bs, None)[0]
+                       if args.remat else flops_exec)
         row = {"metric": "train_step", "batch_size": bs,
                "remat": args.remat or "off",
                "device": device, "step_ms": round(dt * 1e3, 1),
                "imgs_per_sec": round(bs / dt, 1),
                "tokens_per_sec": round(bs * SEQ / dt),
                "params_m": round(n_params / 1e6, 1)}
-        if flops:
-            row["tflops_per_step_est"] = round(flops / 1e12, 2)
-            if device in PEAK_TFLOPS:
-                row["mfu_est_pct"] = round(
-                    100 * flops / 1e12 / dt / PEAK_TFLOPS[device], 1)
+        peak = PEAK_TFLOPS.get(device)
+        if flops_exec:
+            row["tflops_exec_est"] = round(flops_exec / 1e12, 2)
+            if peak:
+                row["mfu_exec_pct"] = round(
+                    100 * flops_exec / 1e12 / dt / peak, 1)
             row["flops_source"] = source
+        if flops_model:
+            row["tflops_model_est"] = round(flops_model / 1e12, 2)
+            if peak:
+                row["mfu_model_pct"] = round(
+                    100 * flops_model / 1e12 / dt / peak, 1)
         print(json.dumps(row))
     return 0
 

@@ -357,3 +357,50 @@ def test_perf_chart_regenerates_from_csv(tmp_path):
     chart_main(["--csv", os.path.join(repo, "benchmark", "artifacts",
                                       "all.csv"), "--out", str(out)])
     assert out.is_file() and out.stat().st_size > 10_000  # a real rendering
+
+
+def test_bench_crosschecks_allcsv(tmp_path, monkeypatch, capsys):
+    """bench.py cross-checks its measurement against the muse_perf all.csv
+    row for the same config and warns on >10% drift (VERDICT round-3
+    item 7: one artifact, mechanically cross-checked)."""
+    import bench
+
+    # against the committed artifact: a value close to the row agrees...
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import csv as _csv
+    with open(os.path.join(repo, "benchmark", "artifacts", "all.csv")) as f:
+        rows = [r for r in _csv.DictReader(f)
+                if r["model"] == "muse_tpu" and r["resolution"] == "256"
+                and r["batch_size"] == "1" and r["timesteps"] == "12"]
+    assert rows, "headline all.csv row missing"
+    row_ms = float(rows[0]["median_ms"])
+
+    all_csv_ms, drift = bench._crosscheck_allcsv(row_ms * 1.02)
+    assert all_csv_ms == row_ms and abs(drift - 2.0) < 0.2
+    assert "diverge" not in capsys.readouterr().err
+
+    # ...and a diverged value trips the warning
+    all_csv_ms, drift = bench._crosscheck_allcsv(row_ms * 1.5)
+    err = capsys.readouterr().err
+    assert "diverge" in err and drift > 10
+
+
+def test_train_sweep_resumes(tmp_path, capsys):
+    """bench_train_step --sweep skips cases already in the CSV (resume after
+    an interrupted sweep) and preserves existing rows."""
+    import csv
+
+    from benchmark.bench_train_step import SWEEP_CASES, SWEEP_FIELDS, run_sweep
+
+    csv_path = str(tmp_path / "train_throughput.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=SWEEP_FIELDS)
+        w.writeheader()
+        for bs, remat in SWEEP_CASES:
+            w.writerow({"batch_size": bs, "remat": remat, "step_ms": "1.0",
+                        "error": ""})
+    run_sweep(csv_path, steps=1, timeout_s=1)  # all cached -> no subprocesses
+    out = capsys.readouterr().out
+    assert out.count("# skip") == len(SWEEP_CASES)
+    with open(csv_path, newline="") as f:
+        assert len(list(csv.DictReader(f))) == len(SWEEP_CASES)
