@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -265,9 +266,48 @@ class GLUFeedForward(nn.Module):
         dense = lambda n, f: nn.Dense(f, use_bias=cfg.use_bias, name=n,
                                       kernel_init=nn.initializers.truncated_normal(0.02),
                                       dtype=self.dtype)
-        hidden = jax.nn.gelu(dense("wi_0", cfg.intermediate_size)(x), approximate=False) \
-            * dense("wi_1", cfg.intermediate_size)(x)
-        return dense("wo", cfg.hidden_size)(hidden), residual
+        a = dense("wi_0", cfg.intermediate_size)(x)
+        b = dense("wi_1", cfg.intermediate_size)(x)
+        out = _GLUDownProj(cfg.hidden_size, use_bias=cfg.use_bias, name="wo",
+                           dtype=self.dtype)(a, b)
+        return out, residual
+
+
+class _GLUDownProj(nn.Module):
+    """``(gelu(a) * b) @ kernel`` — the FFN down-projection with the GLU
+    activation attached.  Param layout matches ``nn.Dense`` exactly (the
+    module is named "wo", so checkpoints see ``...ffn.wo.kernel`` as before).
+
+    On TPU with ``MUSE_TPU_PALLAS_GLU=1`` (inference opt-in: the kernel has
+    no VJP) the op runs as the fused Pallas kernel — measured 617 vs 674-703
+    us/FFN against XLA's producer fusion at the research 512px/bs8 trunk
+    shape (ops/pallas/glu_matmul.py).  The erf-GELU VPU work is why XLA's
+    fusion sits at ~60% of MXU peak here; a materialization barrier made it
+    worse (387.6 vs 381.9 ms end-to-end), the Pallas pipeline overlap is
+    what wins.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        from ..ops.pallas.glu_matmul import glu_down_matmul, use_pallas_glu
+
+        kernel = self.param(
+            "kernel", nn.initializers.truncated_normal(0.02),
+            (a.shape[-1], self.features)).astype(self.dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                .astype(self.dtype) if self.use_bias else None)
+        kdim = a.shape[-1]
+        if use_pallas_glu() and kdim % 128 == 0 and self.features % 128 == 0:
+            flat = a.reshape(-1, kdim)
+            out = glu_down_matmul(flat, b.reshape(-1, kdim), kernel)
+            out = out.reshape(a.shape[:-1] + (self.features,))
+        else:
+            out = (jax.nn.gelu(a, approximate=False) * b) @ kernel
+        return out + bias if bias is not None else out
 
 
 class TransformerLayer(nn.Module):

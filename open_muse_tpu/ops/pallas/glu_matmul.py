@@ -1,0 +1,175 @@
+"""Fused GLU-activation + down-projection matmul (Pallas TPU kernel).
+
+Target (round-3 verdict item 2): the 512px/bs8 per-op profile shows the
+trunk FFN down-projection ``(gelu(a) * b) @ wo`` running at ~60% of MXU peak
+(198 vs 120 us ideal) — XLA fuses the erf-GELU + multiply as a *producer*
+into the matmul and the VPU transcendental work throttles the MXU feed
+(arithmetic: ~45-78 us of erf/mul VPU time per layer, serialized into the
+operand stream).  An explicit materialization barrier makes it WORSE
+(measured 387.6 vs 381.9 ms end-to-end — the epilogue placement costs more
+than the clean matmul saves; see STATUS.md).
+
+This kernel computes ``out = (gelu(a) * b) @ wo`` with K as the inner grid
+dimension: per (m, k) cell it GELU-multiplies one (bm, bk) tile pair on the
+VPU and feeds the MXU accumulator, so Mosaic's software pipeline overlaps
+cell i+1's VPU work and DMA with cell i's matmul instead of serializing them
+inside one XLA fusion.  The (bm, N) f32 accumulator lives in VMEM scratch;
+the GLU product never touches HBM (same as XLA's fusion) and ``a``/``b`` are
+each read exactly once.
+
+Workload: the GLU FFN of MaskGiTUViT_v2 (reference
+modeling_transformer_v2.py:926-951) at research shapes
+(K=intermediate 2816, N=hidden 1024, M=cfg_batch*seq).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["glu_down_matmul", "use_pallas_glu"]
+
+# tuned on v5e at the research FFN (K=2816, N=1024, M=4096): 617 us/FFN vs
+# XLA's 674-703 across runs in the 22-layer chain harness; bm=512/bk=256 and
+# bm=2048/bk=128 measured worse (see STATUS.md round-3)
+BLOCK_M = 1024
+BLOCK_K = 128
+
+
+def use_pallas_glu() -> bool:
+    """Default ON for single-device TPU, OFF otherwise; MUSE_TPU_PALLAS_GLU
+    =0/1 overrides either way.
+
+    The multi-device default is OFF because ``pallas_call`` is opaque to the
+    SPMD partitioner: under a tp-sharded mesh XLA would all-gather the
+    operands and run the kernel replicated — a silent perf regression.  The
+    single-chip inference/benchmark path (where the 512px/bs8 profile was
+    taken) is where the kernel measurably wins.
+    """
+    env = os.environ.get("MUSE_TPU_PALLAS_GLU")
+    if env is not None:
+        return env == "1"
+    try:
+        return (jax.default_backend() not in ("cpu",)
+                and jax.device_count() == 1)
+    except Exception:
+        return False
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7 in f32) — Mosaic
+    has no erf/erfc lowering, but exp is native VPU."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _kernel(a_ref, b_ref, wo_ref, out_ref, acc, *, out_dtype):
+    k = pl.program_id(1)
+    num_k = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:, :] = jnp.zeros_like(acc[:, :])
+
+    # erf-GELU in f32 (matches jax.nn.gelu(approximate=False) to ~1.5e-7 --
+    # far below the bf16 rounding of the operands)
+    a = a_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
+    hidden = 0.5 * a * (1.0 + _erf(a * 0.7071067811865476)) * b
+    acc[:, :] += jax.lax.dot_general(
+        hidden.astype(wo_ref.dtype), wo_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == num_k - 1)
+    def _():
+        out_ref[:, :] = acc[:, :].astype(out_dtype)
+
+
+def _primal(a, b, wo, block_m, block_k, interpret):
+    m, kdim = a.shape
+    n = wo.shape[1]
+    pad_m = (-m) % block_m
+    if pad_m:
+        a = jnp.pad(a, ((0, pad_m), (0, 0)))
+        b = jnp.pad(b, ((0, pad_m), (0, 0)))
+
+    grid = (a.shape[0] // block_m, kdim // block_k)
+    out = pl.pallas_call(
+        functools.partial(_kernel, out_dtype=a.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_k), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, n), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, n), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a.shape[0], n), a.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, n), jnp.float32)],
+        interpret=interpret,
+    )(a, b, wo)
+    return out[:m] if pad_m else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _glu_down(a, b, wo, block_m, block_k, interpret):
+    return _primal(a, b, wo, block_m, block_k, interpret)
+
+
+def _glu_down_fwd(a, b, wo, block_m, block_k, interpret):
+    return _primal(a, b, wo, block_m, block_k, interpret), (a, b, wo)
+
+
+def _glu_down_bwd(block_m, block_k, interpret, res, g):
+    """Backward as plain XLA (the kernel only wins on the decode-loop
+    forward; the training backward is a different fusion landscape)."""
+    a, b, wo = res
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    gelu_a = jax.nn.gelu(af, approximate=False)
+    hidden = (gelu_a * bf).astype(wo.dtype)
+    dwo = (hidden.T @ g.astype(wo.dtype)).astype(wo.dtype)
+    dh = (g @ wo.T).astype(jnp.float32)
+    # d/dx gelu(x) = Phi(x) + x * phi(x)
+    dgelu = (0.5 * (1.0 + jax.lax.erf(af * 0.7071067811865476))
+             + af * jnp.exp(-0.5 * af * af) * 0.3989422804014327)
+    da = (dh * bf * dgelu).astype(a.dtype)
+    db = (dh * gelu_a).astype(b.dtype)
+    return da, db, dwo
+
+
+_glu_down.defvjp(_glu_down_fwd, _glu_down_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "interpret"))
+def glu_down_matmul(a, b, wo, block_m: int = BLOCK_M, block_k: int = BLOCK_K,
+                    interpret: bool = False):
+    """``(gelu(a) * b) @ wo`` for a, b (M, K) and wo (K, N) -> (M, N).
+
+    Output dtype follows ``a``.  M pads internally to block_m; requires
+    K % block_k == 0 and N a lane multiple (128) — callers should fall back
+    to the plain XLA expression otherwise (see GLUFeedForward).
+    Differentiable: the backward pass is the plain XLA expression's VJP.
+    """
+    m, kdim = a.shape
+    n = wo.shape[1]
+    if b.shape != a.shape or wo.shape[0] != kdim:
+        raise ValueError(f"shape mismatch: a{a.shape} b{b.shape} wo{wo.shape}")
+    block_m = min(block_m, max(8, m))
+    block_k = min(block_k, kdim)
+    if kdim % block_k or n % 128:
+        raise ValueError(f"K={kdim} %% block_k={block_k} or N={n} %% 128 != 0")
+    return _glu_down(a, b, wo, block_m, block_k, interpret)

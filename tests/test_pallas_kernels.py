@@ -143,3 +143,92 @@ def test_fused_categorical_cfg_exact_with_explicit_noise():
                                   ref_ids[..., None], -1)[..., 0]
     np.testing.assert_allclose(np.asarray(sel), np.asarray(ref_sel),
                                atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("m,k,n", [(512, 2816, 1024), (100, 512, 128),
+                                   (1025, 256, 256)])
+def test_glu_down_matmul_matches_xla(m, k, n):
+    """Fused GLU + down-projection kernel vs the plain XLA expression
+    (round-3 verdict item 2; erf via A&S 7.1.26, max abs err 1.5e-7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_muse_tpu.ops.pallas.glu_matmul import glu_down_matmul
+
+    rs = np.random.RandomState(0)
+    a = jnp.asarray(rs.randn(m, k), jnp.float32)
+    b = jnp.asarray(rs.randn(m, k), jnp.float32)
+    wo = jnp.asarray(rs.randn(k, n) * 0.02, jnp.float32)
+    ref = (jax.nn.gelu(a, approximate=False) * b) @ wo
+    got = glu_down_matmul(a, b, wo, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_glu_down_matmul_bad_shapes():
+    import jax.numpy as jnp
+
+    from open_muse_tpu.ops.pallas.glu_matmul import glu_down_matmul
+
+    a = jnp.zeros((8, 200), jnp.float32)  # K=200 % block_k(128) != 0
+    wo = jnp.zeros((200, 128), jnp.float32)
+    with pytest.raises(ValueError):
+        glu_down_matmul(a, a, wo, interpret=True)
+    wo_badn = jnp.zeros((128, 100), jnp.float32)  # N not a lane multiple
+    a2 = jnp.zeros((8, 128), jnp.float32)
+    with pytest.raises(ValueError):
+        glu_down_matmul(a2, a2, wo_badn, interpret=True)
+
+
+def test_glu_ffn_module_kernel_path_matches_xla(monkeypatch):
+    """GLUFeedForward with MUSE_TPU_PALLAS_GLU routes through the kernel and
+    matches the XLA path (CPU backend never opts in; force via monkeypatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_muse_tpu.models import transformer_v2 as tv2
+    from open_muse_tpu.ops.pallas import glu_matmul
+
+    cfg = tv2.MaskGiTUViT_v2Config(hidden_size=128, intermediate_size=256,
+                                   num_attention_heads=4, num_hidden_layers=1)
+    mod = tv2.GLUFeedForward(cfg)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 16, 128), jnp.float32)
+    cond = jnp.asarray(rs.randn(2, 128), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x, cond)
+    ref, _ = mod.apply(params, x, cond)
+
+    monkeypatch.setenv("MUSE_TPU_PALLAS_GLU", "1")
+    monkeypatch.setattr(glu_matmul, "use_pallas_glu", lambda: True)
+    real_kernel = glu_matmul.glu_down_matmul
+    monkeypatch.setattr(
+        glu_matmul, "glu_down_matmul",
+        lambda a, b, wo, **kw: real_kernel(a, b, wo, interpret=True))
+    got, _ = mod.apply(params, x, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_glu_down_matmul_grad_matches_xla():
+    """custom_vjp backward matches jax.grad of the plain XLA expression."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_muse_tpu.ops.pallas.glu_matmul import glu_down_matmul
+
+    rs = np.random.RandomState(1)
+    a = jnp.asarray(rs.randn(64, 256), jnp.float32)
+    b = jnp.asarray(rs.randn(64, 256), jnp.float32)
+    wo = jnp.asarray(rs.randn(256, 128) * 0.05, jnp.float32)
+
+    def loss_ref(a, b, wo):
+        return jnp.sum(jnp.sin((jax.nn.gelu(a, approximate=False) * b) @ wo))
+
+    def loss_kernel(a, b, wo):
+        return jnp.sum(jnp.sin(glu_down_matmul(a, b, wo, interpret=True)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(a, b, wo)
+    g_got = jax.grad(loss_kernel, argnums=(0, 1, 2))(a, b, wo)
+    for r, g in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
