@@ -134,9 +134,14 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond_embeds):
+    def __call__(self, x, cond_embeds, adaln_cache=None,
+                 precompute: bool = False):
         cfg = self.config
         c = self.channels
+        if precompute:
+            return AdaLNModulation(cfg.hidden_size, c, use_bias=cfg.use_bias,
+                                   name="adaLN_modulation", dtype=self.dtype)(
+                None, cond_embeds, precompute=True)
         inner = int(c * self.res_ffn_factor)
         x_res = x
         h = nn.Conv(c, (3, 3), padding=1, feature_group_count=c, use_bias=cfg.use_bias,
@@ -153,7 +158,8 @@ class ResBlock(nn.Module):
                      dtype=self.dtype)(h)
         h = h + x_res
         return AdaLNModulation(cfg.hidden_size, c, use_bias=cfg.use_bias,
-                               name="adaLN_modulation", dtype=self.dtype)(h, cond_embeds)
+                               name="adaLN_modulation", dtype=self.dtype)(
+            h, cond_embeds, cached=adaln_cache)
 
 
 class AttentionBlock2D(nn.Module):
@@ -165,11 +171,30 @@ class AttentionBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, encoder_hidden_states):
+    def __call__(self, x, encoder_hidden_states, ctx=None,
+                 precompute: bool = False):
         cfg = self.config
+        if precompute:
+            mapped = encoder_hidden_states
+            if cfg.hidden_size != self.channels:
+                mapped = nn.Dense(
+                    self.channels, use_bias=cfg.use_bias,
+                    kernel_init=nn.initializers.truncated_normal(0.02),
+                    name="kv_mapper", dtype=self.dtype)(jax.nn.silu(mapped))
+            return {
+                "kv1": Attention(self.channels, cfg.block_num_heads,
+                                 use_bias=cfg.use_bias, name="attention",
+                                 dtype=self.dtype)(mapped, mapped,
+                                                   precompute_kv=True),
+                "kv2": Attention(self.channels, cfg.block_num_heads,
+                                 use_bias=cfg.use_bias, name="crossattention",
+                                 dtype=self.dtype)(mapped, mapped,
+                                                   precompute_kv=True),
+            }
+        ctx = ctx or {}
         b, hh, ww, c = x.shape
         h = x.reshape(b, hh * ww, c)
-        if cfg.hidden_size != self.channels:
+        if cfg.hidden_size != self.channels and ctx.get("kv1") is None:
             encoder_hidden_states = nn.Dense(
                 self.channels, use_bias=cfg.use_bias,
                 kernel_init=nn.initializers.truncated_normal(0.02),
@@ -179,11 +204,13 @@ class AttentionBlock2D(nn.Module):
         h1, residual = _norm(cfg, self.channels, "attn_layer_norm", self.dtype)(
             h, return_residual=True)
         h1 = Attention(self.channels, cfg.block_num_heads, use_bias=cfg.use_bias,
-                       name="attention", dtype=self.dtype)(h1, encoder_hidden_states)
+                       name="attention", dtype=self.dtype)(
+            h1, encoder_hidden_states, cached_kv=ctx.get("kv1"))
         h2, residual = _norm(cfg, self.channels, "crossattn_layer_norm", self.dtype)(
             h1, residual)
         h2 = Attention(self.channels, cfg.block_num_heads, use_bias=cfg.use_bias,
-                       name="crossattention", dtype=self.dtype)(h2, encoder_hidden_states)
+                       name="crossattention", dtype=self.dtype)(
+            h2, encoder_hidden_states, cached_kv=ctx.get("kv2"))
         out = h2 + residual
         return out.reshape(b, hh, ww, c)
 
@@ -197,8 +224,20 @@ class DownsampleBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond_embeds, encoder_hidden_states):
+    def __call__(self, x, cond_embeds, encoder_hidden_states, ctx=None,
+                 precompute: bool = False):
         cfg = self.config
+        if precompute:
+            return [{
+                "adaln": ResBlock(cfg, self.channels, name=f"res_blocks_{i}",
+                                  dtype=self.dtype)(
+                    None, cond_embeds, precompute=True),
+                "attn": AttentionBlock2D(cfg, self.channels,
+                                         name=f"attention_blocks_{i}",
+                                         dtype=self.dtype)(
+                    None, encoder_hidden_states, precompute=True),
+            } for i in range(cfg.num_res_blocks)]
+        ctx = ctx or [{}] * cfg.num_res_blocks
         if cfg.force_down_up_sample:
             x = Norm2D(cfg, self.channels, name="downsample_0", dtype=self.dtype)(x)
             x = nn.Conv(self.channels, (2, 2), strides=(2, 2), padding="VALID",
@@ -207,9 +246,10 @@ class DownsampleBlock(nn.Module):
                         name="downsample_1", dtype=self.dtype)(x)
         for i in range(cfg.num_res_blocks):
             x = ResBlock(cfg, self.channels, name=f"res_blocks_{i}", dtype=self.dtype)(
-                x, cond_embeds)
+                x, cond_embeds, adaln_cache=ctx[i].get("adaln"))
             x = AttentionBlock2D(cfg, self.channels, name=f"attention_blocks_{i}",
-                                 dtype=self.dtype)(x, encoder_hidden_states)
+                                 dtype=self.dtype)(x, encoder_hidden_states,
+                                                   ctx=ctx[i].get("attn"))
         return x
 
 
@@ -222,13 +262,26 @@ class UpsampleBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond_embeds, encoder_hidden_states):
+    def __call__(self, x, cond_embeds, encoder_hidden_states, ctx=None,
+                 precompute: bool = False):
         cfg = self.config
+        if precompute:
+            return [{
+                "adaln": ResBlock(cfg, self.channels, name=f"res_blocks_{i}",
+                                  dtype=self.dtype)(
+                    None, cond_embeds, precompute=True),
+                "attn": AttentionBlock2D(cfg, self.channels,
+                                         name=f"attention_blocks_{i}",
+                                         dtype=self.dtype)(
+                    None, encoder_hidden_states, precompute=True),
+            } for i in range(cfg.num_res_blocks)]
+        ctx = ctx or [{}] * cfg.num_res_blocks
         for i in range(cfg.num_res_blocks):
             x = ResBlock(cfg, self.channels, name=f"res_blocks_{i}", dtype=self.dtype)(
-                x, cond_embeds)
+                x, cond_embeds, adaln_cache=ctx[i].get("adaln"))
             x = AttentionBlock2D(cfg, self.channels, name=f"attention_blocks_{i}",
-                                 dtype=self.dtype)(x, encoder_hidden_states)
+                                 dtype=self.dtype)(x, encoder_hidden_states,
+                                                   ctx=ctx[i].get("attn"))
         if cfg.force_down_up_sample:
             x = Norm2D(cfg, self.channels, name="upsample_0", dtype=self.dtype)(x)
             x = nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2), padding="VALID",
@@ -248,15 +301,22 @@ class GLUFeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond_embeds, residual=None):
+    def __call__(self, x, cond_embeds, residual=None, adaln_cache=None,
+                 precompute: bool = False):
         cfg = self.config
+        if precompute:
+            return AdaLNModulation(cfg.hidden_size, cfg.hidden_size,
+                                   use_bias=cfg.use_bias,
+                                   name="adaLN_modulation", dtype=self.dtype)(
+                None, cond_embeds, precompute=True)
         x, residual = LayerNorm(cfg.hidden_size, eps=cfg.layer_norm_eps,
                                 use_bias=cfg.use_bias,
                                 elementwise_affine=cfg.ln_elementwise_affine,
                                 name="pre_mlp_layer_norm", dtype=self.dtype)(
             x, residual, return_residual=True)
         x = AdaLNModulation(cfg.hidden_size, cfg.hidden_size, use_bias=cfg.use_bias,
-                            name="adaLN_modulation", dtype=self.dtype)(x, cond_embeds)
+                            name="adaLN_modulation", dtype=self.dtype)(
+            x, cond_embeds, cached=adaln_cache)
         # NOTE: the wi_0/wi_1 up-projections are deliberately NOT manually
         # concatenated: XLA already fuses the pair into one matmul inside the
         # decode scan (profiler: a single 231 us op at 512px/bs8 = the full
@@ -318,24 +378,50 @@ class TransformerLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, encoder_hidden_states, cond_embeds, residual=None):
+    def __call__(self, x, encoder_hidden_states, cond_embeds, residual=None,
+                 ctx=None, precompute: bool = False):
+        """``precompute=True`` returns the dict of text/cond-derived tensors
+        constant across MaskGIT decode steps (cross-attn kv + the three
+        AdaLN mapper outputs); ``ctx=`` consumes it, skipping those matmuls
+        inside the decode scan (parallel_decode_loop)."""
         cfg = self.config
+        if precompute:
+            return {
+                "self_adaln": AdaLNModulation(
+                    cfg.hidden_size, cfg.hidden_size, use_bias=cfg.use_bias,
+                    name="self_attn_adaLN_modulation", dtype=self.dtype)(
+                    None, cond_embeds, precompute=True),
+                "cross_adaln": AdaLNModulation(
+                    cfg.hidden_size, cfg.hidden_size, use_bias=cfg.use_bias,
+                    name="cross_attn_adaLN_modulation", dtype=self.dtype)(
+                    None, cond_embeds, precompute=True),
+                "cross_kv": Attention(
+                    cfg.hidden_size, cfg.num_attention_heads,
+                    use_bias=cfg.use_bias, name="crossattention",
+                    dtype=self.dtype)(
+                    encoder_hidden_states, encoder_hidden_states,
+                    precompute_kv=True),
+                "ffn_adaln": GLUFeedForward(cfg, name="ffn", dtype=self.dtype)(
+                    None, cond_embeds, precompute=True),
+            }
+        ctx = ctx or {}
         x, residual = _norm(cfg, cfg.hidden_size, "attn_layer_norm", self.dtype)(
             x, residual, return_residual=True)
         x = AdaLNModulation(cfg.hidden_size, cfg.hidden_size, use_bias=cfg.use_bias,
                             name="self_attn_adaLN_modulation", dtype=self.dtype)(
-            x, cond_embeds)
+            x, cond_embeds, cached=ctx.get("self_adaln"))
         x = Attention(cfg.hidden_size, cfg.num_attention_heads, use_bias=cfg.use_bias,
                       name="attention", dtype=self.dtype)(x)
         x, residual = _norm(cfg, cfg.hidden_size, "crossattn_layer_norm", self.dtype)(
             x, residual)
         x = AdaLNModulation(cfg.hidden_size, cfg.hidden_size, use_bias=cfg.use_bias,
                             name="cross_attn_adaLN_modulation", dtype=self.dtype)(
-            x, cond_embeds)
+            x, cond_embeds, cached=ctx.get("cross_adaln"))
         x = Attention(cfg.hidden_size, cfg.num_attention_heads, use_bias=cfg.use_bias,
-                      name="crossattention", dtype=self.dtype)(x, encoder_hidden_states)
+                      name="crossattention", dtype=self.dtype)(
+            x, encoder_hidden_states, cached_kv=ctx.get("cross_kv"))
         x, residual = GLUFeedForward(cfg, name="ffn", dtype=self.dtype)(
-            x, cond_embeds, residual)
+            x, cond_embeds, residual, adaln_cache=ctx.get("ffn_adaln"))
         return x, residual
 
 
@@ -372,28 +458,56 @@ class MaskGiTUViT_v2Module(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, encoder_hidden_states, cond_embeds, micro_conds,
-                 labels=None, loss_weight=None, label_smoothing: float = 0.0):
+                 labels=None, loss_weight=None, label_smoothing: float = 0.0,
+                 step_ctx=None, return_step_ctx: bool = False):
+        """``return_step_ctx=True`` computes and returns every tensor derived
+        only from the text/cond inputs (encoder projection, cond MLP, all
+        cross-attention kv, all AdaLN mapper outputs) — constant across
+        MaskGIT decode steps.  ``step_ctx=`` replays a forward using them,
+        hoisting those matmuls out of the decode scan
+        (parallel_decode_loop; the reference recomputes them every step,
+        modeling_transformer_v2.py:441-448)."""
         cfg = self.config
-        ehs = nn.Dense(cfg.hidden_size, use_bias=cfg.use_bias,
-                       kernel_init=nn.initializers.truncated_normal(0.02),
-                       name="encoder_proj", dtype=self.dtype)(encoder_hidden_states)
-        ehs = _norm(cfg, cfg.hidden_size, "encoder_proj_layer_norm", self.dtype)(ehs)
+        if step_ctx is not None:
+            ehs, cond = step_ctx["ehs"], step_ctx["cond"]
+        else:
+            ehs = nn.Dense(cfg.hidden_size, use_bias=cfg.use_bias,
+                           kernel_init=nn.initializers.truncated_normal(0.02),
+                           name="encoder_proj", dtype=self.dtype)(encoder_hidden_states)
+            ehs = _norm(cfg, cfg.hidden_size, "encoder_proj_layer_norm", self.dtype)(ehs)
 
-        micro = sinusoidal_encode(micro_conds.reshape(-1), cfg.micro_cond_encode_dim)
-        micro = micro.reshape(input_ids.shape[0], -1)
-        cond = jnp.concatenate([cond_embeds.astype(jnp.float32),
-                                micro.astype(jnp.float32)], axis=1).astype(self.dtype)
-        cond = nn.Dense(cfg.hidden_size, use_bias=cfg.use_bias, name="cond_embed_0",
-                        kernel_init=nn.initializers.truncated_normal(0.02),
-                        dtype=self.dtype)(cond)
-        cond = jax.nn.silu(cond)
-        cond = nn.Dense(cfg.hidden_size, use_bias=cfg.use_bias, name="cond_embed_2",
-                        kernel_init=nn.initializers.truncated_normal(0.02),
-                        dtype=self.dtype)(cond)
+            micro = sinusoidal_encode(micro_conds.reshape(-1), cfg.micro_cond_encode_dim)
+            micro = micro.reshape(micro_conds.shape[0], -1)
+            cond = jnp.concatenate([cond_embeds.astype(jnp.float32),
+                                    micro.astype(jnp.float32)], axis=1).astype(self.dtype)
+            cond = nn.Dense(cfg.hidden_size, use_bias=cfg.use_bias, name="cond_embed_0",
+                            kernel_init=nn.initializers.truncated_normal(0.02),
+                            dtype=self.dtype)(cond)
+            cond = jax.nn.silu(cond)
+            cond = nn.Dense(cfg.hidden_size, use_bias=cfg.use_bias, name="cond_embed_2",
+                            kernel_init=nn.initializers.truncated_normal(0.02),
+                            dtype=self.dtype)(cond)
+
+        if return_step_ctx:
+            return {
+                "ehs": ehs,
+                "cond": cond,
+                "down": DownsampleBlock(cfg, cfg.block_out_channels[0],
+                                        name="down_blocks_0", dtype=self.dtype)(
+                    None, cond, ehs, precompute=True),
+                "layers": [TransformerLayer(cfg, name=f"transformer_layers_{i}",
+                                            dtype=self.dtype)(
+                    None, ehs, cond, precompute=True)
+                    for i in range(cfg.num_hidden_layers)],
+                "up": UpsampleBlock(cfg, cfg.block_out_channels[0],
+                                    name="up_blocks_0", dtype=self.dtype)(
+                    None, cond, ehs, precompute=True),
+            }
 
         x = ConvEmbed(cfg, name="embed", dtype=self.dtype)(input_ids)
         x = DownsampleBlock(cfg, cfg.block_out_channels[0], name="down_blocks_0",
-                            dtype=self.dtype)(x, cond, ehs)
+                            dtype=self.dtype)(
+            x, cond, ehs, ctx=None if step_ctx is None else step_ctx["down"])
 
         batch, height, width, channels = x.shape
         x = x.reshape(batch, height * width, channels)
@@ -403,7 +517,8 @@ class MaskGiTUViT_v2Module(nn.Module):
                      name="project_to_hidden", dtype=self.dtype)(x)
 
         layer_cls = TransformerLayer
-        if self.remat:
+        # remat is a training feature; step_ctx decode never needs it
+        if self.remat and step_ctx is None:
             policy = None
             if self.remat == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
@@ -411,8 +526,13 @@ class MaskGiTUViT_v2Module(nn.Module):
                                  policy=policy)
         residual = None
         for i in range(cfg.num_hidden_layers):
-            x, residual = layer_cls(cfg, name=f"transformer_layers_{i}",
-                                    dtype=self.dtype)(x, ehs, cond, residual)
+            if step_ctx is None:
+                x, residual = layer_cls(cfg, name=f"transformer_layers_{i}",
+                                        dtype=self.dtype)(x, ehs, cond, residual)
+            else:
+                x, residual = TransformerLayer(
+                    cfg, name=f"transformer_layers_{i}", dtype=self.dtype)(
+                    x, ehs, cond, residual, ctx=step_ctx["layers"][i])
         x = x + residual
 
         x = _norm(cfg, cfg.hidden_size, "project_from_hidden_norm", self.dtype)(x)
@@ -422,7 +542,8 @@ class MaskGiTUViT_v2Module(nn.Module):
 
         x = x.reshape(batch, height, width, channels)
         x = UpsampleBlock(cfg, cfg.block_out_channels[0], name="up_blocks_0",
-                          dtype=self.dtype)(x, cond, ehs)
+                          dtype=self.dtype)(
+            x, cond, ehs, ctx=None if step_ctx is None else step_ctx["up"])
         batch, height, width, channels = x.shape
         x = x.reshape(batch, height * width, channels)
         logits = ConvMlmLayer(cfg, name="mlm_layer", dtype=self.dtype)(x)
@@ -472,11 +593,21 @@ def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
     generate2) or embedded into a larger program (e.g. the fully-fused
     text->image pipeline in pipelines/pipeline_muse.py)."""
 
+    # hoist every text/cond-derived tensor out of the scan: encoder
+    # projection, cond MLP, all cross-attn kv, all AdaLN mapper outputs are
+    # constant across decode steps — the reference recomputes them in every
+    # forward (modeling_transformer_v2.py:441-448); computing them once makes
+    # them scan constants.  MUSE_TPU_DECODE_CTX=0 restores per-step compute.
+    step_ctx = None
+    if os.environ.get("MUSE_TPU_DECODE_CTX", "1") == "1":
+        step_ctx = apply_fn({"params": params}, input_ids, ehs, conds,
+                            micros, return_step_ctx=True)
+
     def step(carry, step_idx):
         ids, key = carry
         model_input = jnp.concatenate([ids, ids], axis=0) if use_cfg else ids
         raw_logits = apply_fn({"params": params}, model_input, ehs, conds,
-                              micros)
+                              micros, step_ctx=step_ctx)
 
         key, sample_key, mask_key = jax.random.split(key, 3)
         if use_cfg and _use_pallas_sample_cfg():

@@ -144,10 +144,20 @@ class AdaLNModulation(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, cond_embeds):
-        cond = jax.nn.silu(cond_embeds)
-        mapped = nn.Dense(self.hidden_size * 2, use_bias=self.use_bias,
-                          dtype=self.dtype, name="mapper")(cond)
+    def __call__(self, hidden_states, cond_embeds, cached=None,
+                 precompute: bool = False):
+        """``cached``/``precompute`` support MaskGIT decode-loop hoisting:
+        the mapper matmul depends only on cond_embeds, which is constant
+        across decode steps — ``precompute=True`` returns the mapped tensor,
+        a later call with ``cached=`` skips the matmul (transformer_v2.py
+        parallel_decode_loop)."""
+        if cached is None:
+            cond = jax.nn.silu(cond_embeds)
+            cached = nn.Dense(self.hidden_size * 2, use_bias=self.use_bias,
+                              dtype=self.dtype, name="mapper")(cond)
+        if precompute:
+            return cached
+        mapped = cached
         scale, shift = jnp.split(mapped, 2, axis=-1)
         # broadcast over all non-(batch, channel) dims
         extra = hidden_states.ndim - 2
@@ -232,19 +242,26 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, context=None, attention_mask=None):
-        self_attn = context is None
+    def __call__(self, hidden_states, context=None, attention_mask=None,
+                 cached_kv=None, precompute_kv: bool = False):
+        """``precompute_kv``/``cached_kv`` support decode-loop hoisting: for
+        cross attention the fused [k|v] projection depends only on the text
+        context, constant across MaskGIT decode steps.  ``precompute_kv=True``
+        returns the (B, kv_len, 2*hidden) kv tensor; passing it back as
+        ``cached_kv`` skips the projection."""
+        self_attn = context is None and cached_kv is None
         if self_attn:
             context = hidden_states
         head_dim = self.hidden_size // self.num_heads
         q_in = hidden_states.shape[-1]
-        kv_in = context.shape[-1]
+        kv_in = context.shape[-1] if context is not None else None
         wq, bq = _ProjParams(q_in, self.hidden_size, self.use_bias,
                              name="query")()
-        wk, bk = _ProjParams(kv_in, self.hidden_size, self.use_bias,
-                             name="key")()
-        wv, bv = _ProjParams(kv_in, self.hidden_size, self.use_bias,
-                             name="value")()
+        if cached_kv is None:
+            wk, bk = _ProjParams(kv_in, self.hidden_size, self.use_bias,
+                                 name="key")()
+            wv, bv = _ProjParams(kv_in, self.hidden_size, self.use_bias,
+                                 name="value")()
 
         def matmul(x, w, b):
             # cast BOTH operands (nn.Dense semantics): with a float32 input
@@ -258,14 +275,19 @@ class Attention(nn.Module):
             return jnp.concatenate([p.astype(self.dtype) for p in good],
                                    axis=-1) if good else None
 
+        if precompute_kv:
+            return matmul(context, cat([wk, wv]),
+                          cat([bk, bv]) if self.use_bias else None)
+
         if self_attn:
             qkv = matmul(hidden_states, cat([wq, wk, wv]),
                          cat([bq, bk, bv]) if self.use_bias else None)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = matmul(hidden_states, wq.astype(self.dtype), bq)
-            kv = matmul(context, cat([wk, wv]),
-                        cat([bk, bv]) if self.use_bias else None)
+            kv = cached_kv if cached_kv is not None else matmul(
+                context, cat([wk, wv]),
+                cat([bk, bv]) if self.use_bias else None)
             k, v = jnp.split(kv, 2, axis=-1)
         batch, q_len = q.shape[:2]
         kv_len = k.shape[1]

@@ -171,3 +171,37 @@ def test_torch_forward_parity(reference_pair):
     logits = np.asarray(model(jnp.asarray(ids), jnp.asarray(ehs), jnp.asarray(cond),
                               jnp.asarray(micro)))
     np.testing.assert_allclose(logits, ref_logits, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("cfg_dict", [TINY, TINY_DOWN])
+def test_decode_step_context_hoisting_is_identity(cfg_dict, monkeypatch):
+    """The decode-loop step context (hoisted cross-kv / AdaLN / encoder
+    projections) must be a bitwise identity transform: same forward, same
+    decoded ids as the per-step-recompute path (MUSE_TPU_DECODE_CTX=0)."""
+    import jax
+
+    m = MaskGiTUViT_v2(**cfg_dict)
+    rs = np.random.RandomState(7)
+    B, S = 2, 16
+    ids = jnp.asarray(rs.randint(0, m.config.codebook_size, (B, S)), jnp.int32)
+    ehs = jnp.asarray(rs.randn(B, 7, m.config.encoder_hidden_size), jnp.float32)
+    conds = jnp.asarray(rs.randn(B, m.config.cond_embed_dim), jnp.float32)
+    micros = jnp.asarray(np.tile([[512, 512, 0, 0, 6.0]], (B, 1)), jnp.float32)
+
+    plain = m.module.apply({"params": m.params}, ids, ehs, conds, micros)
+    ctx = m.module.apply({"params": m.params}, ids, ehs, conds, micros,
+                         return_step_ctx=True)
+    hoisted = m.module.apply({"params": m.params}, ids, ehs, conds, micros,
+                             step_ctx=ctx)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(hoisted))
+
+    kw = dict(empty_embeds=jnp.zeros((1, 7, m.config.encoder_hidden_size)),
+              empty_cond_embeds=jnp.zeros((1, m.config.cond_embed_dim)),
+              timesteps=3, guidance_scale=2.0, seq_len=16,
+              key=jax.random.PRNGKey(1))
+    out_ctx = m.generate2(ehs, conds, micros, **kw)
+    monkeypatch.setenv("MUSE_TPU_DECODE_CTX", "0")
+    m._jit_cache = {}
+    out_plain = m.generate2(ehs, conds, micros, **kw)
+    m._jit_cache = {}
+    np.testing.assert_array_equal(np.asarray(out_ctx), np.asarray(out_plain))
