@@ -18,6 +18,7 @@ TPU-native redesign highlights:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -215,10 +216,21 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, encoder_hidden_states=None, encoder_attention_mask=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, ctx=None, precompute: bool = False):
         cfg = self.config
         norm = lambda name: Norm(cfg.hidden_size, cfg.norm_type, eps=cfg.layer_norm_eps,
                                  use_bias=cfg.use_bias, name=name, dtype=self.dtype)
+        if precompute:
+            # decode-loop hoisting: the cross-attn [k|v] projection depends
+            # only on the (step-constant) text context — see transformer_v2
+            if encoder_hidden_states is None:
+                return {}
+            return {"cross_kv": Attention(
+                cfg.hidden_size, cfg.num_attention_heads, use_bias=cfg.use_bias,
+                name="crossattention", dtype=self.dtype)(
+                encoder_hidden_states, encoder_hidden_states,
+                precompute_kv=True)}
+        ctx = ctx or {}
         residual = x
         h = norm("attn_layer_norm")(x)
         h = Attention(cfg.hidden_size, cfg.num_attention_heads, use_bias=cfg.use_bias,
@@ -237,7 +249,8 @@ class TransformerLayer(nn.Module):
                 mask = (encoder_attention_mask[:, None, None, :] == 0)
             h = Attention(cfg.hidden_size, cfg.num_attention_heads, use_bias=cfg.use_bias,
                           name="crossattention", dtype=self.dtype)(
-                h, encoder_hidden_states, attention_mask=mask)
+                h, encoder_hidden_states, attention_mask=mask,
+                cached_kv=ctx.get("cross_kv"))
             if cfg.use_normformer:
                 h = norm("post_crossattn_layer_norm")(h)
             x = residual + h
@@ -254,8 +267,38 @@ class MaskGitTransformerModule(nn.Module):
     @nn.compact
     def __call__(self, input_ids, encoder_hidden_states=None,
                  encoder_attention_mask=None, labels=None, label_smoothing: float = 0.0,
-                 cond_dropout_mask=None, deterministic: bool = True):
+                 cond_dropout_mask=None, deterministic: bool = True,
+                 step_ctx=None, return_step_ctx: bool = False):
         cfg = self.config
+        if step_ctx is None:
+            if encoder_hidden_states is not None and cfg.project_encoder_hidden_states:
+                encoder_hidden_states = nn.Dense(cfg.hidden_size, use_bias=cfg.use_bias,
+                                                 name="encoder_proj", dtype=self.dtype)(
+                    encoder_hidden_states)
+                encoder_hidden_states = Norm(cfg.hidden_size, cfg.norm_type,
+                                             eps=cfg.layer_norm_eps, use_bias=cfg.use_bias,
+                                             name="encoder_proj_layer_norm",
+                                             dtype=self.dtype)(encoder_hidden_states)
+
+            # classifier-free-guidance conditioning dropout: caller supplies
+            # the (batch, 1, 1) keep-mask (reference samples it inside
+            # forward, modeling_transformer.py:1244-1247; RNG kept explicit)
+            if encoder_hidden_states is not None and cond_dropout_mask is not None:
+                encoder_hidden_states = encoder_hidden_states * cond_dropout_mask
+        else:
+            encoder_hidden_states = step_ctx["ehs"]
+
+        if return_step_ctx:
+            # decode-loop hoisting (see transformer_v2): text projections and
+            # per-layer cross-attn kv are constant across MaskGIT steps
+            return {
+                "ehs": encoder_hidden_states,
+                "layers": [TransformerLayer(cfg, name=f"transformer_layers_{i}",
+                                            dtype=self.dtype)(
+                    None, encoder_hidden_states, precompute=True)
+                    for i in range(cfg.num_hidden_layers)],
+            }
+
         if cfg.use_conv_in_out:
             x = ConvEmbed(cfg, name="embed", dtype=self.dtype)(input_ids,
                                                                deterministic=deterministic)
@@ -263,25 +306,11 @@ class MaskGitTransformerModule(nn.Module):
             x = Embed(cfg, name="embed", dtype=self.dtype)(input_ids,
                                                            deterministic=deterministic)
 
-        if encoder_hidden_states is not None and cfg.project_encoder_hidden_states:
-            encoder_hidden_states = nn.Dense(cfg.hidden_size, use_bias=cfg.use_bias,
-                                             name="encoder_proj", dtype=self.dtype)(
-                encoder_hidden_states)
-            encoder_hidden_states = Norm(cfg.hidden_size, cfg.norm_type,
-                                         eps=cfg.layer_norm_eps, use_bias=cfg.use_bias,
-                                         name="encoder_proj_layer_norm",
-                                         dtype=self.dtype)(encoder_hidden_states)
-
-        # classifier-free-guidance conditioning dropout: caller supplies the
-        # (batch, 1, 1) keep-mask (reference samples it inside forward,
-        # modeling_transformer.py:1244-1247; we keep RNG explicit)
-        if encoder_hidden_states is not None and cond_dropout_mask is not None:
-            encoder_hidden_states = encoder_hidden_states * cond_dropout_mask
-
         for i in range(cfg.num_hidden_layers):
             x = TransformerLayer(cfg, name=f"transformer_layers_{i}", dtype=self.dtype)(
                 x, encoder_hidden_states, encoder_attention_mask,
-                deterministic=deterministic)
+                deterministic=deterministic,
+                ctx=None if step_ctx is None else step_ctx["layers"][i])
 
         if cfg.use_encoder_layernorm:
             x = Norm(cfg.hidden_size, cfg.norm_type, eps=cfg.layer_norm_eps,
@@ -376,20 +405,22 @@ class MaskGitTransformer(ModelMixin):
         if cache_key not in self._jit_cache:
             apply_fn = self.module.apply
 
-            def step_fn(step, carry, params, class_ids, condition):
+            def step_fn(step, carry, params, class_ids, condition, ctx):
                 ids, key = carry
                 model_ids = ids
                 if class_ids is not None:
                     model_ids = jnp.concatenate([class_ids[:, None], ids], axis=1)
                 if use_cfg:
                     model_input = jnp.concatenate([model_ids, model_ids], axis=0)
-                    logits_all = apply_fn({"params": params}, model_input, condition)
+                    logits_all = apply_fn({"params": params}, model_input, condition,
+                                          step_ctx=ctx)
                     cond_logits, uncond_logits = jnp.split(logits_all, 2, axis=0)
                     logits = uncond_logits[..., : cfg.codebook_size] + guidance_scale * (
                         cond_logits[..., : cfg.codebook_size]
                         - uncond_logits[..., : cfg.codebook_size])
                 elif condition is not None:
-                    logits = apply_fn({"params": params}, model_ids, condition)
+                    logits = apply_fn({"params": params}, model_ids, condition,
+                                      step_ctx=ctx)
                     logits = logits[..., : cfg.codebook_size]
                 else:
                     logits = apply_fn({"params": params}, model_ids)
@@ -441,9 +472,18 @@ class MaskGitTransformer(ModelMixin):
 
             @jax.jit
             def run(params, input_ids, class_ids, condition, key):
+                # hoist text projections + cross-attn kv out of the loop
+                # (constant across decode steps; see transformer_v2)
+                ctx = None
+                if condition is not None and \
+                        os.environ.get("MUSE_TPU_DECODE_CTX", "1") == "1":
+                    ctx = apply_fn({"params": params}, input_ids, condition,
+                                   return_step_ctx=True)
+
                 def body(step, carry):
                     ids, key, _ = carry
-                    return step_fn(step, (ids, key), params, class_ids, condition)
+                    return step_fn(step, (ids, key), params, class_ids,
+                                   condition, ctx)
 
                 init = (input_ids.astype(jnp.int32), key,
                         jnp.zeros_like(input_ids, dtype=jnp.int32))
@@ -493,6 +533,11 @@ class MaskGitTransformer(ModelMixin):
 
             @jax.jit
             def run(params, input_ids, class_ids, condition, key):
+                ctx = None
+                if condition is not None and \
+                        os.environ.get("MUSE_TPU_DECODE_CTX", "1") == "1":
+                    ctx = apply_fn({"params": params}, input_ids, condition,
+                                   return_step_ctx=True)
                 ids = input_ids.astype(jnp.int32)
                 scores = jnp.zeros(ids.shape, dtype=jnp.float32)
                 for ti, timestep in enumerate(timestep_values):
@@ -512,14 +557,15 @@ class MaskGitTransformer(ModelMixin):
                         model_ids = jnp.concatenate([class_ids[:, None], ids], axis=1)
                     if use_cfg:
                         model_input = jnp.concatenate([model_ids, model_ids], axis=0)
-                        out = apply_fn({"params": params}, model_input, condition)
+                        out = apply_fn({"params": params}, model_input, condition,
+                                       step_ctx=ctx)
                         cond_logits, uncond_logits = jnp.split(out, 2, axis=0)
                         logits = uncond_logits[..., : cfg.codebook_size] + guidance_scale * (
                             cond_logits[..., : cfg.codebook_size]
                             - uncond_logits[..., : cfg.codebook_size])
                     elif condition is not None:
-                        logits = apply_fn({"params": params}, model_ids,
-                                          condition)[..., : cfg.codebook_size]
+                        logits = apply_fn({"params": params}, model_ids, condition,
+                                          step_ctx=ctx)[..., : cfg.codebook_size]
                     else:
                         logits = apply_fn({"params": params},
                                           model_ids)[..., : cfg.codebook_size]

@@ -125,3 +125,31 @@ def test_torch_forward_parity_cross_attention():
                          encoder_hidden_states=torch.from_numpy(ehs)).numpy()
     logits = np.asarray(model(jnp.asarray(ids), jnp.asarray(ehs)))
     np.testing.assert_allclose(logits, ref_logits, atol=2e-4, rtol=1e-3)
+
+
+def test_decode_step_context_hoisting_is_identity(monkeypatch):
+    """v1 decode-loop hoisting (text projections + cross-attn kv as loop
+    constants) must be a bitwise identity vs per-step recompute."""
+    import numpy as np
+
+    m = MaskGitTransformer(**TINY_XATTN)
+    rs = np.random.RandomState(7)
+    B = 2
+    ids = jnp.asarray(rs.randint(0, m.config.codebook_size,
+                                 (B, m.config.num_vq_tokens)), jnp.int32)
+    ehs = jnp.asarray(rs.randn(B, 8, m.config.encoder_hidden_size), jnp.float32)
+
+    plain = m.module.apply({"params": m.params}, ids, ehs)
+    ctx = m.module.apply({"params": m.params}, ids, ehs, return_step_ctx=True)
+    hoisted = m.module.apply({"params": m.params}, ids, ehs, step_ctx=ctx)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(hoisted))
+
+    kw = dict(encoder_hidden_states=ehs, timesteps=3, guidance_scale=2.0,
+              key=jax.random.PRNGKey(0))
+    g2_ctx = m.generate2(**kw)
+    g1_ctx = m.generate(**kw)
+    monkeypatch.setenv("MUSE_TPU_DECODE_CTX", "0")
+    m._jit_cache = {}
+    np.testing.assert_array_equal(np.asarray(g2_ctx), np.asarray(m.generate2(**kw)))
+    np.testing.assert_array_equal(np.asarray(g1_ctx), np.asarray(m.generate(**kw)))
+    m._jit_cache = {}
