@@ -584,14 +584,50 @@ def _use_pallas_sample_cfg() -> bool:
             and jax.default_backend() == "tpu")
 
 
+def decode_schedules(timesteps: int, temperature=1.0, guidance_scale: float = 0.0,
+                     guidance_schedule: Optional[str] = None,
+                     noise_schedule=sampling.cosine_schedule):
+    """Per-step decode schedules, all static (reference
+    modeling_transformer_v2.py:361-382).  Shared by generate2 and the
+    step-distillation teacher (training/distill.py) so the two can never
+    drift: the distilled student's K-step mask ratios coincide with the
+    teacher's at every 2nd step because both come from
+    ``noise_schedule((i+1)/T)``."""
+    if isinstance(temperature, (tuple, list)):
+        temperatures = np.linspace(temperature[0], temperature[1], timesteps)
+    else:
+        temperatures = np.linspace(temperature, 0.01, timesteps)
+    if guidance_schedule == "linear":
+        guidance_scales = np.linspace(0, guidance_scale, timesteps)
+    elif guidance_schedule == "cosine":
+        ratios = (np.arange(timesteps) + 1) / timesteps
+        guidance_scales = np.floor(np.cos((1 - ratios) * np.pi * 0.5) * guidance_scale)
+    else:
+        guidance_scales = np.full(timesteps, guidance_scale)
+    ratios = (np.arange(timesteps, dtype=np.float64) + 1) / timesteps
+    mask_ratios = np.asarray(
+        jax.device_get(noise_schedule(jnp.asarray(ratios, dtype=jnp.float32))))
+    return (jnp.asarray(temperatures, dtype=jnp.float32),
+            jnp.asarray(guidance_scales, dtype=jnp.float32),
+            jnp.asarray(mask_ratios, dtype=jnp.float32))
+
+
 def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
                          key, temperatures, guidance_scales, mask_ratios, *,
                          use_cfg: bool, seq_len: int, timesteps: int,
-                         return_intermediate: bool = False):
+                         return_intermediate: bool = False,
+                         return_trajectory: bool = False):
     """Pure, traceable MaskGIT decode loop (reference
     modeling_transformer_v2.py:422-474) — usable standalone (jitted by
     generate2) or embedded into a larger program (e.g. the fully-fused
-    text->image pipeline in pipelines/pipeline_muse.py)."""
+    text->image pipeline in pipelines/pipeline_muse.py).
+
+    ``return_trajectory=True`` returns ``(final, states, sampled)`` where
+    ``states[t]`` is the carry-in ids at step t (mask tokens at the
+    still-unknown positions; ``states[0]`` is all-mask) and ``sampled[t]``
+    is the full committed grid after step t.  This is the teacher-side
+    contract for step/guidance distillation (training/distill.py): the
+    pair (states[t], sampled[t+k-1]) is a k-steps-to-one training example."""
 
     # hoist every text/cond-derived tensor out of the scan: encoder
     # projection, cond MLP, all cross-attn kv, all AdaLN mapper outputs are
@@ -670,11 +706,14 @@ def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
                                                temperatures[step_idx])
         new_ids = jnp.where(masking, cfg.mask_token_id, sampled_ids)
         out = raw_sampled_ids if return_intermediate else None
-        return (new_ids.astype(jnp.int32), key), (out, sampled_ids)
+        state_in = ids if return_trajectory else None
+        return (new_ids.astype(jnp.int32), key), (out, sampled_ids, state_in)
 
-    (_, _), (intermediate, all_sampled) = jax.lax.scan(
+    (_, _), (intermediate, all_sampled, states) = jax.lax.scan(
         step, (input_ids.astype(jnp.int32), key), jnp.arange(timesteps))
     final = all_sampled[-1]
+    if return_trajectory:
+        return final, states, all_sampled
     if return_intermediate:
         return final, intermediate
     return final
@@ -779,25 +818,9 @@ class MaskGiTUViT_v2(ModelMixin):
             input_ids = jnp.full((batch_size, seq_len), cfg.mask_token_id,
                                  dtype=jnp.int32)
 
-        # per-step schedules (static: timesteps is static) — reference :361-382
-        if isinstance(temperature, (tuple, list)):
-            temperatures = np.linspace(temperature[0], temperature[1], timesteps)
-        else:
-            temperatures = np.linspace(temperature, 0.01, timesteps)
-        if guidance_schedule == "linear":
-            guidance_scales = np.linspace(0, guidance_scale, timesteps)
-        elif guidance_schedule == "cosine":
-            ratios = (np.arange(timesteps) + 1) / timesteps
-            guidance_scales = np.floor(np.cos((1 - ratios) * np.pi * 0.5) * guidance_scale)
-        else:
-            guidance_scales = np.full(timesteps, guidance_scale)
-        ratios = (np.arange(timesteps, dtype=np.float64) + 1) / timesteps
-        mask_ratios = np.asarray(
-            jax.device_get(noise_schedule(jnp.asarray(ratios, dtype=jnp.float32))))
-
-        temperatures = jnp.asarray(temperatures, dtype=jnp.float32)
-        guidance_scales = jnp.asarray(guidance_scales, dtype=jnp.float32)
-        mask_ratios = jnp.asarray(mask_ratios, dtype=jnp.float32)
+        temperatures, guidance_scales, mask_ratios = decode_schedules(
+            timesteps, temperature, guidance_scale, guidance_schedule,
+            noise_schedule)
 
         if micro_conds.shape[0] == 1:
             micro_conds = jnp.broadcast_to(micro_conds, (batch_size,) + micro_conds.shape[1:])

@@ -19,9 +19,12 @@ SHARD_LISTS = {
 
 
 def _train_configs():
+    # distill.yaml drives training/distill.py (prompt-file schema, no image
+    # shards) — it has its own schema test below
     return [p for p in CONFIGS
             if os.path.basename(p) not in SHARD_LISTS
-            and os.path.basename(p) != "template_config.yaml"]
+            and os.path.basename(p) not in ("template_config.yaml",
+                                            "distill.yaml")]
 
 
 def test_configs_exist_in_breadth():
@@ -78,3 +81,20 @@ def test_shard_list_yaml_resolution(tmp_path):
                       process_count=1)
     assert len(src.urls) > 100  # brace ranges expanded
     assert all(u.endswith(".tar") for u in src.urls[:5])
+
+
+def test_distill_config_schema():
+    """distill.yaml: the distillation CLI's schema (prompt-file driven)."""
+    path = os.path.join(REPO, "configs", "distill.yaml")
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    for section in ("experiment", "model", "distill", "optimizer",
+                    "lr_scheduler", "training"):
+        assert section in cfg, f"distill.yaml missing {section}"
+    d = cfg["distill"]
+    for key in ("teacher_checkpoint", "prompts_file", "teacher_timesteps",
+                "step_ratio", "guidance_scale"):
+        assert key in d, f"distill.yaml missing distill.{key}"
+    assert d["teacher_timesteps"] % d["step_ratio"] == 0
+    # the prompt file must ship with the repo
+    assert os.path.exists(os.path.join(REPO, d["prompts_file"]))

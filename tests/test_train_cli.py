@@ -260,3 +260,53 @@ def test_train_muse_cli_v1_architecture(tmp_path):
     logged = [json.loads(line) for line in open(os.path.join(out, "metrics.jsonl"))]
     assert all(np.isfinite(m["loss"]) for m in logged if "loss" in m)
     assert os.path.isfile(os.path.join(out, "samples-4.png"))
+
+
+def test_distill_cli(tmp_path):
+    """Distillation CLI: stage a tiny pretrained transformer, distill from a
+    prompt file, checkpoint lands with finite logged loss."""
+    from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+    from open_muse_tpu.training.distill import main
+
+    teacher_dir = str(tmp_path / "teacher")
+    MaskGiTUViT_v2(
+        hidden_size=64, cond_embed_dim=24, micro_cond_encode_dim=8,
+        micro_cond_embed_dim=40, encoder_hidden_size=32, vocab_size=68,
+        codebook_size=64, in_channels=32, block_out_channels=[32],
+        num_res_blocks=1, block_num_heads=2, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        seed=0).save_pretrained(teacher_dir)
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a red square\na green square\na blue square\n")
+
+    cfg = {
+        "experiment": {"name": "distill-smoke",
+                       "output_dir": str(tmp_path / "out"),
+                       "save_every": 4, "log_every": 2},
+        "model": {"text_encoder": {"pretrained": None,
+                                   "params": {"vocab_size": 64,
+                                              "hidden_size": 32,
+                                              "intermediate_size": 64,
+                                              "num_hidden_layers": 2,
+                                              "num_attention_heads": 4,
+                                              "max_position_embeddings": 8,
+                                              "projection_dim": 24}}},
+        "distill": {"teacher_checkpoint": teacher_dir,
+                    "prompts_file": str(prompts),
+                    "teacher_timesteps": 4, "step_ratio": 2,
+                    "guidance_scale": 2.0, "resolution": 16,
+                    "seq_len": 16, "use_ema": True},
+        "optimizer": {"name": "adamw", "params": {"learning_rate": 1e-4}},
+        "lr_scheduler": {"scheduler": "constant_with_warmup",
+                         "params": {"warmup_steps": 2}},
+        "training": {"batch_size": 4, "max_train_steps": 4, "seed": 0,
+                     "max_grad_norm": 1.0},
+    }
+    state = main([f"config={_write_cfg(tmp_path, cfg)}"])
+    import jax
+
+    assert int(jax.device_get(state.step)) == 4
+    out = cfg["experiment"]["output_dir"]
+    logged = [json.loads(line) for line in open(os.path.join(out, "metrics.jsonl"))]
+    assert any(np.isfinite(m["loss"]) for m in logged if "loss" in m)
+    assert os.path.isdir(os.path.join(out, "checkpoint-4"))
