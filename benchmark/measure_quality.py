@@ -1,7 +1,7 @@
 """Measure THIS framework's quality numbers and write
 benchmark/artifacts/quality_ours.csv.
 
-Two modes:
+Three modes:
 
 1. (default) **Trained-from-scratch regression** — trains a tiny MUSE stack
    on the colored-squares distribution, generates, and scores FID (seeded
@@ -11,7 +11,12 @@ Two modes:
    (/root/reference/benchmark/model_quality.py:18-88), scaled to what runs
    without network access.
 
-2. ``--pipeline DIR --captions FILE --real-dir DIR`` — score an actual
+2. ``--distill`` — measured step/guidance-distillation protocol: trains the
+   tiny teacher, self-distills it to half the decode steps with guidance
+   folded in (training/distill.py), and scores teacher-at-N /
+   teacher-at-K / distilled-student-at-K against the same real set.
+
+3. ``--pipeline DIR --captions FILE --real-dir DIR`` — score an actual
    pipeline checkpoint: generate images for the captions, compute FID
    against the real dir and CLIP score against the captions.  With
    ``--clip-model`` pointing at real CLIP weights this produces the
@@ -116,6 +121,58 @@ def regression_mode(args):
           f"{m['fid_clipfeat_seeded_untrained']:.2f} (untrained), "
           f"color acc {m['color_accuracy_trained']:.2f} vs "
           f"{m['color_accuracy_untrained']:.2f}")
+    return rows, ok
+
+
+def distill_mode(args):
+    from open_muse_tpu.eval.quality_regression import run_distill_regression
+
+    m = run_distill_regression(
+        train_steps=args.train_steps, vq_steps=args.vq_steps,
+        distill_steps=args.distill_steps, n_eval=args.n_eval, seed=args.seed,
+        teacher_timesteps=args.teacher_timesteps, step_ratio=args.step_ratio,
+        guidance_scale=args.cfg)
+    proto = (f"distill-regression(seed={args.seed},steps={args.train_steps},"
+             f"N={args.teacher_timesteps}->K={int(m['student_timesteps'])},"
+             f"cfg={args.cfg})")
+    seeded = "clip_vit_seeded(NOT a published metric; deterministic)"
+    n = int(m["n_eval"])
+
+    def row(metric, value, extractor, notes):
+        return dict(protocol=proto, metric=metric, value=round(value, 3),
+                    extractor=extractor, n_images=n, notes=notes)
+
+    rows = [
+        row("fid_teacher_full", m["fid_teacher_full"], seeded,
+            f"teacher at {args.teacher_timesteps} steps (quality target)"),
+        row("fid_teacher_k", m["fid_teacher_k"], seeded,
+            f"teacher at {int(m['student_timesteps'])} steps "
+            f"(undistilled step-cut baseline)"),
+        row("fid_student_k", m["fid_student_k"], seeded,
+            f"distilled student at {int(m['student_timesteps'])} steps, "
+            f"no CFG"),
+        row("color_accuracy_teacher_full", m["color_accuracy_teacher_full"],
+            "exact", "chance=0.33"),
+        row("color_accuracy_teacher_k", m["color_accuracy_teacher_k"],
+            "exact", "undistilled step-cut baseline"),
+        row("color_accuracy_student_k", m["color_accuracy_student_k"],
+            "exact", "distilled student, no CFG"),
+        dict(protocol=proto, metric="distill_loss", n_images=0,
+             value=round(m["distill_loss_last"], 4), extractor="n/a",
+             notes=f"from {m['distill_loss_first']:.4f} over "
+                   f"{int(m['distill_steps'])} steps"),
+    ]
+    # machinery gate: the student must stay well above chance and the
+    # distill loss must move
+    ok = (m["color_accuracy_student_k"] >= 0.7
+          and m["distill_loss_last"] < m["distill_loss_first"])
+    print(f"distill {'PASS' if ok else 'FAIL'}: "
+          f"acc student_k={m['color_accuracy_student_k']:.2f} vs "
+          f"teacher_k={m['color_accuracy_teacher_k']:.2f} / "
+          f"teacher_full={m['color_accuracy_teacher_full']:.2f}; "
+          f"fid student_k={m['fid_student_k']:.2f} vs "
+          f"teacher_k={m['fid_teacher_k']:.2f} / "
+          f"teacher_full={m['fid_teacher_full']:.2f}")
     return rows, ok
 
 
@@ -249,6 +306,13 @@ def main(argv=None):
                    help="score split-half self-FID of the generated set "
                         "(FID-estimator noise floor; for offline runs with "
                         "no real set)")
+    p.add_argument("--distill", action="store_true",
+                   help="measured step/guidance-distillation protocol: "
+                        "teacher_full vs teacher_k vs distilled student_k "
+                        "(training/distill.py)")
+    p.add_argument("--distill-steps", type=int, default=120)
+    p.add_argument("--teacher-timesteps", type=int, default=6)
+    p.add_argument("--step-ratio", type=int, default=2)
     p.add_argument("--train-steps", type=int, default=200)
     p.add_argument("--vq-steps", type=int, default=150)
     p.add_argument("--n-eval", type=int, default=30)
@@ -265,6 +329,13 @@ def main(argv=None):
             p.error("--pipeline mode needs --captions and either "
                     "--real-dir or --self-fid")
         rows, ok = pipeline_mode(args)
+    elif args.distill:
+        # --cfg doubles as the teacher guidance scale here; the argparse
+        # default (8.0) is a hub-scale setting — the tiny teacher is trained
+        # without cond dropout, so default to a gentle 2.0 unless overridden
+        if args.cfg == 8.0:
+            args.cfg = 2.0
+        rows, ok = distill_mode(args)
     else:
         rows, ok = regression_mode(args)
     write_rows(rows, args.out)

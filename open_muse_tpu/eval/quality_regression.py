@@ -29,8 +29,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["run_quality_regression", "COLORS", "color_accuracy",
-           "make_square_images"]
+__all__ = ["run_quality_regression", "run_distill_regression", "COLORS",
+           "color_accuracy", "make_square_images"]
 
 COLORS = {
     "red": (0.9, 0.1, 0.1),
@@ -118,6 +118,54 @@ def _train_vq(vq, rs, steps: int, lr: float = 3e-3) -> float:
     return float(loss)
 
 
+def _make_batch_fn(vq, text_encoder, tokenizer, rs):
+    """batch_for(colors) -> trainer batch dict (colored-squares tokens +
+    text encodings), shared by the regression and distillation recipes."""
+    import jax.numpy as jnp
+
+    def batch_for(colors):
+        pixels = make_square_images(colors, rs)
+        tokens = vq.get_code(jnp.asarray(pixels))
+        texts = [f"a {c} square" for c in colors]
+        ids = jnp.asarray(tokenizer(texts)["input_ids"])
+        hs, _, pooled = text_encoder.encode(ids)
+        return {
+            "image_tokens": tokens,
+            "encoder_hidden_states": hs[-2],
+            "cond_embeds": pooled,
+            "micro_conds": jnp.asarray(
+                [[RESOLUTION, RESOLUTION, 0, 0, 6.0]] * len(colors),
+                jnp.float32),
+        }
+
+    return batch_for
+
+
+def _train_transformer(model, batch_for, train_steps: int, key, lr=4e-3):
+    """Stage-2 masked-token training; returns (state, first_loss, last_loss)."""
+    import jax
+
+    from ..ops.sampling import cosine_schedule
+    from ..training import trainer as T
+    from ..training.optimizers import get_optimizer
+
+    tx = get_optimizer("adamw", lr, max_grad_norm=1.0)
+    state = T.create_train_state(model.params, tx)
+    step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule,
+                                     model.config.mask_token_id,
+                                     codebook_size=64)
+    names = list(COLORS)
+    first_loss = last_loss = None
+    for i in range(train_steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch_for(
+            [names[j % 3] for j in range(i, i + 6)]), sub)
+        if i == 0:
+            first_loss = float(metrics["loss"])
+        last_loss = float(metrics["loss"])
+    return state, first_loss, last_loss
+
+
 def _sample(model, vq, text_encoder, tokenizer, prompts, key,
             timesteps: int = 6, batch_size: int = 16) -> List[np.ndarray]:
     """Batched generation (fixed batch shapes -> one compiled program; the
@@ -154,9 +202,6 @@ def run_quality_regression(train_steps: int = 200, vq_steps: int = 150,
 
     from ..models.clip_text import CLIPTextEncoder, SimpleTokenizer
     from ..models.clip_vision import CLIPScorer, CLIPVisionEncoder
-    from ..ops.sampling import cosine_schedule
-    from ..training import trainer as T
-    from ..training.optimizers import get_optimizer
     from .clip_score import clip_score
     from .fid import CLIPFeatureExtractor, fid_between_image_sets
 
@@ -168,41 +213,15 @@ def run_quality_regression(train_steps: int = 200, vq_steps: int = 150,
     log(f"  recon_loss={recon_loss:.4f}")
 
     names = list(COLORS)
-
-    def batch_for(colors):
-        pixels = make_square_images(colors, rs)
-        tokens = vq.get_code(jnp.asarray(pixels))
-        texts = [f"a {c} square" for c in colors]
-        ids = jnp.asarray(tokenizer(texts)["input_ids"])
-        hs, _, pooled = text_encoder.encode(ids)
-        return {
-            "image_tokens": tokens,
-            "encoder_hidden_states": hs[-2],
-            "cond_embeds": pooled,
-            "micro_conds": jnp.asarray(
-                [[RESOLUTION, RESOLUTION, 0, 0, 6.0]] * len(colors),
-                jnp.float32),
-        }
+    batch_for = _make_batch_fn(vq, text_encoder, tokenizer, rs)
 
     log("stage 2: training transformer")
     # deep-copy init weights BEFORE training: the fused step donates the
     # state buffers, and we sample the untrained baseline afterwards
     untrained_params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
                                               model.params)
-    tx = get_optimizer("adamw", 4e-3, max_grad_norm=1.0)
-    state = T.create_train_state(model.params, tx)
-    step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule,
-                                     model.config.mask_token_id,
-                                     codebook_size=64)
-    key = jax.random.PRNGKey(seed)
-    first_loss = last_loss = None
-    for i in range(train_steps):
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch_for(
-            [names[j % 3] for j in range(i, i + 6)]), sub)
-        if i == 0:
-            first_loss = float(metrics["loss"])
-        last_loss = float(metrics["loss"])
+    state, first_loss, last_loss = _train_transformer(
+        model, batch_for, train_steps, jax.random.PRNGKey(seed))
     log(f"  loss {first_loss:.4f} -> {last_loss:.4f}")
 
     # held-out real set + prompts (balanced over colors)
@@ -277,4 +296,118 @@ def run_quality_regression(train_steps: int = 200, vq_steps: int = 150,
         "clip_score_seeded_trained": cs_trained,
         "n_eval": float(n_eval),
         "train_steps": float(train_steps),
+    }
+
+
+def run_distill_regression(train_steps: int = 200, vq_steps: int = 150,
+                           distill_steps: int = 120, n_eval: int = 30,
+                           seed: int = 0, teacher_timesteps: int = 6,
+                           step_ratio: int = 2, guidance_scale: float = 2.0,
+                           distill_lr: float = 5e-4,
+                           log=print) -> Dict[str, float]:
+    """Measured step/guidance-distillation protocol (training/distill.py).
+
+    Trains the tiny teacher, self-distills it (teacher_timesteps-step CFG
+    trajectory folded into teacher_timesteps/step_ratio-step no-CFG student),
+    then scores THREE decodes against the same held-out real set:
+
+      teacher_full   teacher at teacher_timesteps (the quality target)
+      teacher_k      teacher at the REDUCED step count (undistilled baseline
+                     — what you'd get by just cutting steps)
+      student_k      distilled student at the reduced count, no CFG
+
+    The distillation claim is measured, not asserted: student_k should sit
+    near teacher_full and at-or-above teacher_k at step_ratio x fewer model
+    forwards (and no CFG batch-double on top when guidance_scale > 0).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..training import trainer as T
+    from ..training.distill import make_distill_step
+    from ..training.optimizers import get_optimizer
+    from .fid import CLIPFeatureExtractor, fid_between_image_sets
+
+    rs = np.random.RandomState(seed)
+    vq, text_encoder, tokenizer, model = _build_stack(seed)
+
+    log("stage 1: training VQ tokenizer")
+    _train_vq(vq, rs, vq_steps)
+
+    log("stage 2: training teacher")
+    batch_for = _make_batch_fn(vq, text_encoder, tokenizer, rs)
+    state, first_loss, last_loss = _train_transformer(
+        model, batch_for, train_steps, jax.random.PRNGKey(seed))
+    log(f"  teacher loss {first_loss:.4f} -> {last_loss:.4f}")
+    teacher_params = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True), state.params)
+
+    log(f"stage 3: self-distilling {teacher_timesteps}-step cfg={guidance_scale} "
+        f"teacher -> {teacher_timesteps // step_ratio}-step no-cfg student")
+    names = list(COLORS)
+    seq_len = (RESOLUTION // vq.config.reduction_factor) ** 2
+    dtx = get_optimizer("adamw", distill_lr, max_grad_norm=1.0)
+    dstate = T.create_train_state(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                               teacher_params), dtx)
+    dstep = make_distill_step(
+        model.module, dtx, mask_token_id=model.config.mask_token_id,
+        teacher_timesteps=teacher_timesteps, step_ratio=step_ratio,
+        guidance_scale=guidance_scale, temperature=(1.0, 0.0),
+        seq_len=seq_len, ema_decay=None)
+    empty_ids = jnp.asarray(tokenizer([""])["input_ids"])
+    ehs_e, _, pooled_e = text_encoder.encode(empty_ids)
+    key = jax.random.PRNGKey(seed + 3)
+    dfirst = dlast = None
+    for i in range(distill_steps):
+        key, sub = jax.random.split(key)
+        texts = [f"a {names[j % 3]} square" for j in range(i, i + 6)]
+        ids = jnp.asarray(tokenizer(texts)["input_ids"])
+        hs, _, pooled = text_encoder.encode(ids)
+        batch = {"encoder_hidden_states": hs[-2], "cond_embeds": pooled,
+                 "micro_conds": jnp.asarray(
+                     [[RESOLUTION, RESOLUTION, 0, 0, 6.0]] * 6, jnp.float32),
+                 "empty_embeds": ehs_e[-2], "empty_cond_embeds": pooled_e}
+        dstate, metrics = dstep(dstate, teacher_params, batch, sub)
+        if i == 0:
+            dfirst = float(metrics["loss"])
+        dlast = float(metrics["loss"])
+    log(f"  distill loss {dfirst:.4f} -> {dlast:.4f}")
+
+    log("stage 4: scoring teacher_full / teacher_k / student_k")
+    eval_colors = [names[i % 3] for i in range(n_eval)]
+    prompts = [f"a {c} square" for c in eval_colors]
+    real_images = list(make_square_images(eval_colors,
+                                          np.random.RandomState(seed + 1)))
+    gen_key = jax.random.PRNGKey(seed + 2)
+    k_steps = teacher_timesteps // step_ratio
+    extractor = CLIPFeatureExtractor.seeded(
+        seed=1234, image_size=32, patch_size=8)
+
+    def score(params, timesteps, tag):
+        model.params = params
+        model._jit_cache.clear()
+        images = _sample(model, vq, text_encoder, tokenizer, prompts,
+                         gen_key, timesteps=timesteps)
+        fid = fid_between_image_sets(real_images, images, extractor)
+        acc = color_accuracy(images, prompts)
+        log(f"  {tag}: steps={timesteps} fid={fid:.2f} acc={acc:.2f}")
+        return fid, acc
+
+    fid_tf, acc_tf = score(teacher_params, teacher_timesteps, "teacher_full")
+    fid_tk, acc_tk = score(teacher_params, k_steps, "teacher_k")
+    fid_sk, acc_sk = score(dstate.params, k_steps, "student_k")
+
+    return {
+        "teacher_timesteps": float(teacher_timesteps),
+        "student_timesteps": float(k_steps),
+        "guidance_scale": float(guidance_scale),
+        "distill_loss_first": dfirst,
+        "distill_loss_last": dlast,
+        "fid_teacher_full": fid_tf, "color_accuracy_teacher_full": acc_tf,
+        "fid_teacher_k": fid_tk, "color_accuracy_teacher_k": acc_tk,
+        "fid_student_k": fid_sk, "color_accuracy_student_k": acc_sk,
+        "n_eval": float(n_eval),
+        "train_steps": float(train_steps),
+        "distill_steps": float(distill_steps),
     }

@@ -182,3 +182,29 @@ def test_inception_score_classifier_path():
 
     mean, std = inception_score(images, classify, splits=5, batch_size=6)
     assert np.isfinite(mean) and mean >= 1.0
+
+
+def test_measure_quality_cli_distill_mode(tmp_path):
+    """--distill mode end-to-end on a minimal budget: CSV written with the
+    teacher_full/teacher_k/student_k triple present and finite."""
+    import csv
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "measure_quality",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmark", "measure_quality.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "quality.csv"
+    mod.main(["--distill", "--train-steps", "3", "--vq-steps", "3",
+              "--distill-steps", "3", "--n-eval", "6", "--out", str(out)])
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    metrics = {r["metric"] for r in rows}
+    assert {"fid_teacher_full", "fid_teacher_k", "fid_student_k",
+            "color_accuracy_student_k", "distill_loss"} <= metrics
+    for r in rows:
+        assert np.isfinite(float(r["value"]))
+    assert all(r["protocol"].startswith("distill-regression(") for r in rows)
