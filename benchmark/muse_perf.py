@@ -126,19 +126,22 @@ def _xla_flops(fn, *args):
     return None
 
 
-def component_flops(transformer, text_encoder, vae, seq_len, batch_size):
+def component_flops(transformer, text_encoder, vae, seq_len, batch_size,
+                    cfg_mult: int = 2):
     """Per-component FLOPs from cost analysis: (per_step, fixed, source).
     per_step = one CFG-batched transformer forward; fixed = text encode
     (cond+empty) + VQ decode.  Falls back to an analytic matmul-dominant
-    LOWER BOUND (trunk tokens only; convs and O(S^2) attention excluded)."""
+    LOWER BOUND (trunk tokens only; convs and O(S^2) attention excluded).
+    ``cfg_mult=1`` measures the distilled no-CFG decode (single forward,
+    single text encode)."""
     import jax.numpy as jnp
 
     rs = np.random.RandomState(0)
-    b2 = 2 * batch_size  # CFG doubles the batch inside the decode loop
+    b2 = cfg_mult * batch_size  # CFG doubles the batch inside the decode loop
     hs = transformer.config.encoder_hidden_size
     ids = jnp.asarray(rs.randint(0, 100, (b2, seq_len)), jnp.int32)
     ehs = jnp.zeros((b2, 77, hs), jnp.float32)
-    cond = jnp.zeros((b2, hs), jnp.float32)
+    cond = jnp.zeros((b2, transformer.config.cond_embed_dim), jnp.float32)
     micro = jnp.zeros((b2, 5), jnp.float32)
 
     fwd = _xla_flops(
@@ -161,7 +164,7 @@ def component_flops(transformer, text_encoder, vae, seq_len, batch_size):
 
 
 def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
-             iters: int = 4, chains: int = 5):
+             iters: int = 4, chains: int = 5, guidance_scale: float = 8.0):
     import jax
     import jax.numpy as jnp
 
@@ -181,8 +184,8 @@ def run_case(transformer, text_encoder, vae, seq_len, batch_size, timesteps,
     pipe = PipelineMuse(vae=vae, transformer=transformer,
                         text_encoder=text_encoder, tokenizer=_Tok())
     call = pipe.compile_text2image(batch_size=batch_size, timesteps=timesteps,
-                                   guidance_scale=8.0, temperature=(2, 0),
-                                   seq_len=seq_len)
+                                   guidance_scale=guidance_scale,
+                                   temperature=(2, 0), seq_len=seq_len)
 
     float(jnp.sum(call(input_ids, micro, key)))  # compile + force
     # second warm call: the first post-compile dispatch through the tunnel
@@ -243,7 +246,7 @@ def validate_rows(rows):
     return problems
 
 
-def flops_via_cpu_subprocess(resolution, batch_size):
+def flops_via_cpu_subprocess(resolution, batch_size, cfg_mult: int = 2):
     """XLA cost analysis needs a backend that exposes it — the axon tunnel
     returns None for both lowered and compiled analyses, the CPU backend
     answers instantly from the lowered module (no compile).  Run the analysis
@@ -253,7 +256,8 @@ def flops_via_cpu_subprocess(resolution, batch_size):
 
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "artifacts", ".flops_cache.json")
-    key = f"{resolution}-{batch_size}"
+    key = (f"{resolution}-{batch_size}" if cfg_mult == 2
+           else f"{resolution}-{batch_size}-cfg{cfg_mult}")
     cache = {}
     if os.path.isfile(cache_path):
         try:
@@ -269,7 +273,8 @@ def flops_via_cpu_subprocess(resolution, batch_size):
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flops",
-             str(resolution), str(batch_size)],
+             str(resolution), str(batch_size),
+             "--flops-cfg-mult", str(cfg_mult)],
             env=env, capture_output=True, text=True, timeout=900)
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
@@ -284,8 +289,14 @@ def flops_via_cpu_subprocess(resolution, batch_size):
     return None
 
 
-def run_one_case(resolution, batch_size, steps, iters, chains, out_path):
-    """Measure one config and append its row to the CSV."""
+def run_one_case(resolution, batch_size, steps, iters, chains, out_path,
+                 distilled: bool = False):
+    """Measure one config and append its row to the CSV.
+
+    ``distilled=True`` measures the step/guidance-distilled serving config
+    (training/distill.py): no CFG batch-double, typically half the steps —
+    the weights differ from the teacher but the program/latency does not
+    depend on values, so the measurement uses the same staged weights."""
     import jax
     import jax.numpy as jnp
 
@@ -293,16 +304,19 @@ def run_one_case(resolution, batch_size, steps, iters, chains, out_path):
 
     _enable_compile_cache()
     device = jax.devices()[0].device_kind
+    cfg_mult = 1 if distilled else 2
     transformer, text_encoder, vae, seq_len = build(resolution, jnp.bfloat16)
     ms, imgs, peak_gb = run_case(transformer, text_encoder, vae, seq_len,
-                                 batch_size, steps, iters=iters, chains=chains)
-    parts = flops_via_cpu_subprocess(resolution, batch_size)
+                                 batch_size, steps, iters=iters, chains=chains,
+                                 guidance_scale=0.0 if distilled else 8.0)
+    parts = flops_via_cpu_subprocess(resolution, batch_size, cfg_mult)
     if parts is None:
         parts = component_flops(transformer, text_encoder, vae, seq_len,
-                                batch_size)
+                                batch_size, cfg_mult)
     per_step, fixed, source = parts
     total_flops = steps * per_step + fixed
-    row = {"model": "muse_tpu", "resolution": resolution,
+    row = {"model": "muse_tpu_distilled" if distilled else "muse_tpu",
+           "resolution": resolution,
            "batch_size": batch_size, "timesteps": steps,
            "use_xformers": "n/a", "use_fused_residual_norm": "xla-fused",
            "device": device, "median_ms": round(ms, 1),
@@ -343,6 +357,13 @@ def main(argv=None):
     parser.add_argument("--flops", type=int, nargs=2, metavar=("RES", "BS"),
                         help="print per-component FLOPs as JSON and exit "
                              "(run with JAX_PLATFORM_NAME=cpu)")
+    parser.add_argument("--flops-cfg-mult", type=int, default=2,
+                        help="CFG batch multiplier for --flops (1 = distilled "
+                             "no-CFG decode)")
+    parser.add_argument("--distilled", action="store_true",
+                        help="measure the distilled serving config: no CFG "
+                             "batch-double, default timesteps [6]; rows land "
+                             "as model=muse_tpu_distilled")
     parser.add_argument("--case-timeout", type=int, default=2400,
                         help="per-case subprocess timeout, seconds")
     parser.add_argument("--retries", type=int, default=2)
@@ -355,15 +376,20 @@ def main(argv=None):
         transformer, text_encoder, vae, seq_len = build(args.flops[0],
                                                         jnp.bfloat16)
         per_step, fixed, source = component_flops(
-            transformer, text_encoder, vae, seq_len, args.flops[1])
+            transformer, text_encoder, vae, seq_len, args.flops[1],
+            args.flops_cfg_mult)
         print(_json.dumps({"per_step": per_step, "fixed": fixed,
                            "source": source}))
         return 0
 
+    if args.distilled and args.timesteps == [12, 20]:
+        args.timesteps = [6]
+
     if args.case:
         # in-process single case (the unit the orchestrator spawns)
         return 0 if run_one_case(args.case[0], args.case[1], args.case[2],
-                                 args.iters, args.chains, args.out) else 1
+                                 args.iters, args.chains, args.out,
+                                 distilled=args.distilled) else 1
 
     # Orchestrator: one SUBPROCESS per case with timeout + retry.  The remote
     # compile service can wedge indefinitely (a hung XLA call is
@@ -375,16 +401,19 @@ def main(argv=None):
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     if args.fresh and os.path.isfile(args.out):
         os.remove(args.out)
+    model_name = "muse_tpu_distilled" if args.distilled else "muse_tpu"
     done = set()
     if os.path.isfile(args.out):
         with open(args.out) as f:
-            done = {(r["resolution"], r["batch_size"], r["timesteps"])
+            done = {(r["model"], r["resolution"], r["batch_size"],
+                     r["timesteps"])
                     for r in csv.DictReader(f)
                     if "published" not in r["device"]}
     for resolution in args.resolutions:
         for batch_size in args.batch_sizes:
             for steps in args.timesteps:
-                if (str(resolution), str(batch_size), str(steps)) in done:
+                if (model_name, str(resolution), str(batch_size),
+                        str(steps)) in done:
                     print(f"case {resolution}/{batch_size}/{steps} already "
                           f"measured — skipping (use --fresh to redo)")
                     continue
@@ -392,6 +421,8 @@ def main(argv=None):
                        "--case", str(resolution), str(batch_size), str(steps),
                        "--iters", str(args.iters), "--chains", str(args.chains),
                        "--out", args.out]
+                if args.distilled:
+                    cmd.append("--distilled")
                 for attempt in range(args.retries + 1):
                     try:
                         proc = subprocess.run(cmd, timeout=args.case_timeout,

@@ -404,3 +404,43 @@ def test_train_sweep_resumes(tmp_path, capsys):
     assert out.count("# skip") == len(SWEEP_CASES)
     with open(csv_path, newline="") as f:
         assert len(list(csv.DictReader(f))) == len(SWEEP_CASES)
+
+
+def test_muse_perf_distilled_flops_halve():
+    """--distilled accounting: a no-CFG (cfg_mult=1) decode step costs half
+    the CFG-batched step's FLOPs; the distilled model label and README row
+    selection stay separate from the parity rows."""
+    import jax.numpy as jnp
+
+    from benchmark.muse_perf import component_flops, validate_rows
+    from open_muse_tpu.models.clip_text import CLIPTextEncoder
+    from open_muse_tpu.models.maskgit_vqgan import MaskGitVQGAN
+    from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+
+    transformer = MaskGiTUViT_v2(
+        hidden_size=64, cond_embed_dim=24, micro_cond_encode_dim=8,
+        micro_cond_embed_dim=40, encoder_hidden_size=32, vocab_size=68,
+        codebook_size=64, in_channels=32, block_out_channels=(32,),
+        num_res_blocks=1, block_num_heads=2, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96)
+    text_encoder = CLIPTextEncoder(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=77, projection_dim=24)
+    vae = MaskGitVQGAN(resolution=16, hidden_channels=32, channel_mult=(1, 2),
+                       num_res_blocks=1, z_channels=16, num_embeddings=64,
+                       quantized_embed_dim=16)
+    full = component_flops(transformer, text_encoder, vae, 16, 2, cfg_mult=2)
+    dist = component_flops(transformer, text_encoder, vae, 16, 2, cfg_mult=1)
+    assert full[2] == dist[2] == "xla-cost-analysis"
+    assert abs(dist[0] / full[0] - 0.5) < 0.02, (dist[0], full[0])
+    assert dist[1] < full[1]  # single text encode, same VQ decode
+
+    # distilled rows group separately in the consistency check
+    rows = [
+        {"model": "muse_tpu", "device": "t", "resolution": "256",
+         "batch_size": "1", "timesteps": "12", "median_ms": "50"},
+        {"model": "muse_tpu_distilled", "device": "t", "resolution": "256",
+         "batch_size": "1", "timesteps": "6", "median_ms": "30"},
+    ]
+    assert validate_rows(rows) == []
