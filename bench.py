@@ -94,6 +94,17 @@ def _crosscheck_allcsv(median_ms, update=False):
     if update:
         row["median_ms"] = f"{median_ms:.1f}"
         row["imgs_per_sec"] = f"{BATCH * 1000.0 / median_ms:.2f}"
+        # keep the latency-DERIVED column consistent: mfu = flops/time/peak
+        # (tflops_per_call_est is per-call work — latency-independent)
+        try:
+            from benchmark.muse_perf import PEAK_TFLOPS
+
+            tflops = float(row.get("tflops_per_call_est") or 0.0)
+            peak = PEAK_TFLOPS.get(row.get("device", ""))
+            if tflops > 0 and peak:
+                row["mfu_est_pct"] = f"{100.0 * tflops / (median_ms / 1e3) / peak:.1f}"
+        except Exception:
+            pass
         with open(csv_path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=fields)
             w.writeheader()

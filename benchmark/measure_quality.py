@@ -217,8 +217,11 @@ def pipeline_mode(args):
     proto = (f"pipeline({os.path.basename(os.path.normpath(args.pipeline))},"
              f"cfg={args.cfg},steps={args.timesteps})")
     rows = []
+    # load the real set ONCE for both extractors (at n>=1000 a second disk
+    # read + PIL decode pass is a full duplicate of the first)
+    real = (load_image_dir(args.real_dir, limit=len(images))
+            if args.real_dir else None)
     if args.real_dir:
-        real = load_image_dir(args.real_dir, limit=len(images))
         fid = fid_between_image_sets(real, images, extractor)
         rows.append(dict(protocol=proto, metric=fid_metric,
                          value=round(fid, 3), extractor=label,
@@ -265,7 +268,6 @@ def pipeline_mode(args):
         import numpy as np
 
         if args.real_dir:
-            real = load_image_dir(args.real_dir, limit=len(images))
             ifid = fid_between_image_sets(real, images, inc)
             rows.append(dict(protocol=proto, metric=inc_fid_metric,
                              value=round(ifid, 3), extractor=inc_label,

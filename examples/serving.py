@@ -40,6 +40,10 @@ def main(argv=None):
                         "checkpoint's native 256)")
     p.add_argument("--prompts", default=None,
                    help="file with one prompt per line (default: stdin)")
+    p.add_argument("--resolution", type=int, default=None,
+                   help="decode resolution for the micro-conds (defaults to "
+                        "the resolution implied by --seq-len and the f16 VQ: "
+                        "sqrt(seq_len)*16)")
     p.add_argument("--out-dir", default="serve_out")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -64,7 +68,12 @@ def main(argv=None):
                              return_tensors="np")
         return jnp.asarray(np.asarray(enc["input_ids"]), jnp.int32)
 
-    micro = jnp.asarray([[512, 512, 0, 0, 6.0]] * args.batch_size,
+    # micro-conds condition on the ORIGINAL image size: match the decode
+    # resolution unless overridden (a 256px checkpoint served as if 512
+    # subtly shifts the output distribution)
+    seq_len = args.seq_len or 256
+    res = args.resolution or int(seq_len ** 0.5) * 16
+    micro = jnp.asarray([[res, res, 0, 0, 6.0]] * args.batch_size,
                         jnp.float32)
     key = jax.random.PRNGKey(args.seed)
 

@@ -338,10 +338,12 @@ class _GLUDownProj(nn.Module):
     activation attached.  Param layout matches ``nn.Dense`` exactly (the
     module is named "wo", so checkpoints see ``...ffn.wo.kernel`` as before).
 
-    On TPU with ``MUSE_TPU_PALLAS_GLU=1`` (inference opt-in: the kernel has
-    no VJP) the op runs as the fused Pallas kernel — measured 617 vs 674-703
-    us/FFN against XLA's producer fusion at the research 512px/bs8 trunk
-    shape (ops/pallas/glu_matmul.py).  The erf-GELU VPU work is why XLA's
+    Default ON on single-device TPU at 128-aligned shapes (multi-device
+    stays on XLA: pallas_call is opaque to the SPMD partitioner;
+    MUSE_TPU_PALLAS_GLU=0/1 overrides — see use_pallas_glu): the op runs as
+    the fused Pallas kernel, with a custom_vjp whose backward is the plain
+    XLA expression — measured 617 vs 674-703 us/FFN against XLA's producer
+    fusion at the research 512px/bs8 trunk shape (ops/pallas/glu_matmul.py).  The erf-GELU VPU work is why XLA's
     fusion sits at ~60% of MXU peak here; a materialization barrier made it
     worse (387.6 vs 381.9 ms end-to-end), the Pallas pipeline overlap is
     what wins.

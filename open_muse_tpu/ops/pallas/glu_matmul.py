@@ -55,7 +55,9 @@ def use_pallas_glu() -> bool:
     if env is not None:
         return env == "1"
     try:
-        return (jax.default_backend() not in ("cpu",)
+        # TPU only: the kernel lowers through Mosaic (pltpu memory spaces);
+        # a GPU backend would crash in pallas_call rather than fall back
+        return (jax.default_backend() == "tpu"
                 and jax.device_count() == 1)
     except Exception:
         return False

@@ -179,13 +179,20 @@ def distilled_generate(model, encoder_hidden_states, cond_embeds, micro_conds,
         temperature=temperature, seq_len=seq_len, key=key, **kwargs)
 
 
-def _encode_prompts(text_encoder, tokenizer, prompts):
-    ids = jnp.asarray(tokenizer(prompts, padding="max_length", truncation=True,
-                                max_length=tokenizer.model_max_length,
-                                return_tensors="np")["input_ids"])
-    hs, _, pooled = text_encoder.encode(ids)
-    # CLIP: penultimate hidden state + pooled (train_muse.py convention)
-    return (hs[-2] if len(hs) >= 2 else hs[-1]), pooled
+def _encode_prompts(text_encoder, tokenizer, prompts, chunk: int = 256):
+    """Encode prompts (chunked: large caption files shouldn't build one huge
+    text-encoder batch).  CLIP convention: penultimate hidden state + pooled
+    (train_muse.py)."""
+    ehs_parts, pooled_parts = [], []
+    for start in range(0, len(prompts), chunk):
+        ids = jnp.asarray(tokenizer(prompts[start:start + chunk],
+                                    padding="max_length", truncation=True,
+                                    max_length=tokenizer.model_max_length,
+                                    return_tensors="np")["input_ids"])
+        hs, _, pooled = text_encoder.encode(ids)
+        ehs_parts.append(hs[-2] if len(hs) >= 2 else hs[-1])
+        pooled_parts.append(pooled)
+    return jnp.concatenate(ehs_parts, 0), jnp.concatenate(pooled_parts, 0)
 
 
 def main(argv=None):
@@ -274,12 +281,15 @@ def main(argv=None):
     ckpt_every = int(config.experiment.get("save_every", 1000))
     log_every = int(config.experiment.get("log_every", 50))
     rs = np.random.RandomState(config.training.get("seed", 42))
+    # the prompt list is fixed: encode every unique prompt ONCE and index
+    # per step (text encoding would otherwise serialize with the distill
+    # step 20k times over the same handful of strings)
+    all_ehs, all_pooled = _encode_prompts(text_encoder, tokenizer, prompts)
     t0 = time.time()
     for step_i in range(max_steps):
-        chunk = [prompts[i] for i in
-                 rs.randint(0, len(prompts), size=batch_size)]
-        ehs, pooled = _encode_prompts(text_encoder, tokenizer, chunk)
-        batch = {"encoder_hidden_states": ehs, "cond_embeds": pooled,
+        idx = rs.randint(0, len(prompts), size=batch_size)
+        batch = {"encoder_hidden_states": all_ehs[idx],
+                 "cond_embeds": all_pooled[idx],
                  "micro_conds": micro, "empty_embeds": empty_embeds,
                  "empty_cond_embeds": empty_cond}
         key, sub = jax.random.split(key)
