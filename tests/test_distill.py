@@ -210,3 +210,35 @@ def test_distilled_student_matches_teacher_task_accuracy():
     images = list(np.asarray(vq.decode_code(tokens)))
     acc = color_accuracy(images, prompts)
     assert acc >= 0.7, f"distilled 3-step accuracy {acc}"
+
+
+def test_distill_step_gspmd_mesh():
+    """dp=4 x fsdp=2 mesh: student state sharded (fsdp params), teacher
+    replicated, batch dp-sharded — the fused teacher-trajectory + student-
+    update program executes under GSPMD and donation stays consistent."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from open_muse_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(dp=4, fsdp=2, tp=1)
+    model = tiny_model()
+    tx = get_optimizer("adamw", 1e-3)
+    state = T.create_train_state(model.params, tx, mesh=mesh)
+    rep = NamedSharding(mesh, P())
+    teacher_params = jax.device_put(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                               model.params), rep)
+    step = make_distill_step(
+        model.module, tx, mask_token_id=model.config.mask_token_id,
+        teacher_timesteps=4, step_ratio=2, guidance_scale=2.0, seq_len=SEQ,
+        ema_decay=None)
+    batch = text_batch(batch=8)
+    batch_sh = NamedSharding(mesh, P(("dp", "fsdp")))
+    batch = {k: jax.device_put(v, rep if v.shape[0] == 1 else batch_sh)
+             for k, v in batch.items()}
+    state, metrics = step(state, teacher_params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics = step(state, teacher_params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
