@@ -65,8 +65,16 @@ def make_distill_step(
     label_smoothing: float = 0.0,
     ema_decay: Optional[float] = 0.9999,
     max_grad_norm: Optional[float] = None,
+    soft_weight: float = 0.0,
 ) -> Callable:
     """Build the jitted distillation step.
+
+    ``soft_weight > 0`` adds a distribution-matching guidance-distillation
+    term: KL(teacher_cfg || student) at the sampled trajectory state, where
+    the target is the teacher's CFG-COMBINED logits (one extra teacher
+    forward per step).  The hard two-step CE carries the step folding; the
+    soft term carries the full guided distribution rather than one sample
+    of it.  total = hard_CE + soft_weight * KL.
 
     Returned callable: ``distill_step(state, teacher_params, batch, key) ->
     (state, metrics)``.  ``teacher_params`` is a jit ARGUMENT (not a closure)
@@ -96,14 +104,24 @@ def make_distill_step(
         teacher_timesteps, temperature, guidance_scale, guidance_schedule,
         noise_schedule)
 
-    def loss_fn(params, state_in, target, ehs, cond, micro):
+    def loss_fn(params, state_in, target, soft_logits, ehs, cond, micro):
         # CE only at positions the student must fill (still-masked at t);
         # target values are what the teacher committed by t+step_ratio-1
         labels = jnp.where(state_in == mask_token_id, target, -100)
         logits, loss = student_module.apply(
             {"params": params}, state_in, ehs, cond, micro,
             labels=labels, label_smoothing=label_smoothing)
-        return loss, logits
+        soft_kl = jnp.zeros((), jnp.float32)
+        if soft_logits is not None:
+            # KL(teacher_cfg || student) over the codebook at masked positions
+            logp_s = jax.nn.log_softmax(
+                logits[..., : teacher_cfg.codebook_size].astype(jnp.float32))
+            p_t = jax.nn.softmax(soft_logits)
+            kl = jnp.sum(p_t * (jax.nn.log_softmax(soft_logits) - logp_s), -1)
+            mask = (state_in == mask_token_id).astype(jnp.float32)
+            soft_kl = jnp.sum(kl * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+            loss = loss + soft_weight * soft_kl
+        return loss, soft_kl
 
     @partial(jax.jit, donate_argnums=(0,))
     def distill_step(state: TrainState, teacher_params, batch: Dict[str, Any],
@@ -138,9 +156,24 @@ def make_distill_step(
         state_in = jnp.take_along_axis(states, t_in[None, :, None], axis=0)[0]
         target = jnp.take_along_axis(sampled, t_out[None, :, None], axis=0)[0]
 
+        # ---- optional soft target: the teacher's CFG-combined distribution
+        # at state_in (per-example guidance scale from the schedule at t) ----
+        soft_logits = None
+        if soft_weight > 0.0:
+            t_input = (jnp.concatenate([state_in, state_in], 0) if use_cfg
+                       else state_in)
+            raw = teacher_module.apply({"params": teacher_params}, t_input,
+                                       t_ehs, t_cond, t_micro)
+            t_logits = raw[..., : teacher_cfg.codebook_size].astype(jnp.float32)
+            if use_cfg:
+                c_logits, u_logits = jnp.split(t_logits, 2, axis=0)
+                gs = gscales[t_in][:, None, None]
+                t_logits = u_logits + gs * (c_logits - u_logits)
+            soft_logits = jax.lax.stop_gradient(t_logits)
+
         # ---- student update (condition-only forward: guidance distilled) ----
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state_in, target, ehs, cond, micro)
+        (loss, soft_kl), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state_in, target, soft_logits, ehs, cond, micro)
         grad_norm = optax.global_norm(grads)
         if max_grad_norm is not None:
             scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
@@ -159,6 +192,8 @@ def make_distill_step(
                 (state_in == mask_token_id).astype(jnp.float32)),
             "avg_pair_step": jnp.mean(t_in.astype(jnp.float32)),
         }
+        if soft_weight > 0.0:
+            metrics["soft_kl"] = soft_kl
         return TrainState(step=state.step + 1, params=new_params,
                           opt_state=new_opt_state, ema_params=new_ema), metrics
 
@@ -275,7 +310,8 @@ def main(argv=None):
         guidance_schedule=dcfg.get("guidance_schedule"),
         seq_len=seq_len,
         label_smoothing=float(config.training.get("label_smoothing", 0.0)),
-        max_grad_norm=config.training.get("max_grad_norm"))
+        max_grad_norm=config.training.get("max_grad_norm"),
+        soft_weight=float(dcfg.get("soft_weight", 0.0)))
 
     max_steps = int(config.training.max_train_steps)
     ckpt_every = int(config.experiment.get("save_every", 1000))

@@ -242,3 +242,44 @@ def test_distill_step_gspmd_mesh():
     assert np.isfinite(float(metrics["loss"]))
     state, metrics = step(state, teacher_params, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_distill_step_soft_targets():
+    """soft_weight > 0 adds the guidance-distillation KL term: runs, KL is
+    finite and non-negative, and matching distributions give (near-)zero KL
+    at step 0 of self-distillation (student == teacher at the CFG-combined
+    logits only when guidance is off)."""
+    model = tiny_model()
+    tx = get_optimizer("adamw", 1e-3)
+    teacher_params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                            model.params)
+    batch = text_batch()
+
+    # guidance OFF: the soft target is the teacher's own condition-only
+    # distribution, and student==teacher at init -> KL == 0
+    state = T.create_train_state(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                               model.params), tx)
+    step0 = make_distill_step(
+        model.module, tx, mask_token_id=model.config.mask_token_id,
+        teacher_timesteps=4, step_ratio=2, guidance_scale=0.0, seq_len=SEQ,
+        ema_decay=None, soft_weight=0.5)
+    _, metrics = step0(state, teacher_params, batch, jax.random.PRNGKey(0))
+    assert float(metrics["soft_kl"]) < 1e-5, float(metrics["soft_kl"])
+
+    # guidance ON: at INIT the zero-init AdaLN/mlm head makes conditioning a
+    # no-op (cond == uncond -> CFG combine == the student's own logits, KL 0
+    # by construction) — so assert KL > 0 on the SECOND step, once the hard
+    # CE has moved the student off the teacher
+    state = T.create_train_state(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                               model.params), tx)
+    step = make_distill_step(
+        model.module, tx, mask_token_id=model.config.mask_token_id,
+        teacher_timesteps=4, step_ratio=2, guidance_scale=4.0, seq_len=SEQ,
+        ema_decay=None, soft_weight=0.5)
+    state, metrics = step(state, teacher_params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics = step(state, teacher_params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["soft_kl"]) > 0.0
