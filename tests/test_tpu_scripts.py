@@ -51,3 +51,18 @@ def test_benchmark_pod_dry_run():
     out = _run("benchmark_pod.sh", "my-tpu", "us-central2-b")
     assert "muse_perf.py --fresh" in out
     assert "artifacts/all.csv" in out
+
+
+def test_launch_pod_dry_run_distill_module():
+    """MUSE_TRAIN_MODULE swaps the trainer CLI: pod distillation reuses the
+    same launcher."""
+    env = dict(os.environ,
+               MUSE_TRAIN_MODULE="open_muse_tpu.training.distill")
+    proc = subprocess.run(
+        [os.path.join(SCRIPTS, "launch_pod.sh"), "--dry-run", "my-tpu",
+         "us-central2-b", "configs/distill.yaml"],
+        capture_output=True, text=True, timeout=60, cwd=REPO, env=env)
+    assert proc.returncode == 0, proc.stderr
+    assert "open_muse_tpu.training.distill" in proc.stdout
+    assert "config=configs/distill.yaml" in proc.stdout
+    assert "train_muse" not in proc.stdout

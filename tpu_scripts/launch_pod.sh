@@ -9,6 +9,11 @@
 # Usage:
 #   ./tpu_scripts/launch_pod.sh [--dry-run] <tpu-name> <zone> configs/research_run_512.yaml [overrides...]
 #
+# MUSE_TRAIN_MODULE selects the trainer CLI (default
+# open_muse_tpu.training.train_muse); e.g. pod distillation:
+#   MUSE_TRAIN_MODULE=open_muse_tpu.training.distill \
+#       ./tpu_scripts/launch_pod.sh my-pod us-central2-b configs/distill.yaml
+#
 # Requires: gcloud CLI authenticated, datasets reachable from the hosts
 # (GCS via pipe: urls).
 
@@ -20,6 +25,7 @@ ZONE=${2:?zone}
 CONFIG=${3:?config path}
 shift 3
 OVERRIDES="$*"
+MODULE=${MUSE_TRAIN_MODULE:-open_muse_tpu.training.train_muse}
 
 REPO_DIR=$(cd "$(dirname "$0")/.." && pwd)
 
@@ -36,7 +42,7 @@ echo ">> launching training on all hosts"
 # (open_muse_tpu/training/data.py ShardSource).
 tpu_ssh "${TPU_NAME}" "${ZONE}" all \
     "cd ~/muse-tpu && MUSE_AUTO_DISTRIBUTED=1 nohup python -m \
-        open_muse_tpu.training.train_muse \
+        ${MODULE} \
         config=${CONFIG} ${OVERRIDES} > train_\$(hostname).log 2>&1 &"
 
 echo ">> launched. tail logs with:"
