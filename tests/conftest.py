@@ -9,8 +9,12 @@ import sys
 
 # NOTE: on this machine the axon TPU plugin ignores JAX_PLATFORMS; the legacy
 # JAX_PLATFORM_NAME is honoured, plus jax.config as a belt-and-braces measure.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Hard-SET (not setdefault): the session env carries JAX_PLATFORMS=axon, and
+# subprocesses spawned by tests inherit os.environ — a leaked 'axon' request
+# crashes any child whose axon plugin isn't registered (e.g. under the
+# tunnel-outage env that unsets PALLAS_AXON_POOL_IPS, STATUS.md).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

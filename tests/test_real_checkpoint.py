@@ -189,7 +189,8 @@ def test_calculate_fid_generation_smoke(staged, tmp_path):
          "--output-dir", str(out), "--num-images", "4",
          "--batch-size", "2", "--timesteps", "2"],
         capture_output=True, text=True, timeout=600,
-        env={**os.environ, "JAX_PLATFORM_NAME": "cpu"})
+        env={**os.environ, "JAX_PLATFORM_NAME": "cpu",
+             "JAX_PLATFORMS": "cpu"})
     assert proc.returncode == 0, proc.stderr[-2000:]
     pngs = [f for f in os.listdir(out) if f.endswith((".png", ".jpg"))]
     assert len(pngs) == 4
