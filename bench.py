@@ -196,12 +196,38 @@ def main(update_allcsv=False):
     print(json.dumps(out))
 
 
+def _probe_tunnel(timeout_s: int = 120) -> bool:
+    """Cheap liveness probe: during a tunnel outage backend DISCOVERY hangs
+    in every process (STATUS.md), so probe in a bounded subprocess before
+    burning attempts x 25-minute measurement timeouts."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main_with_retries(attempts: int = 3, timeout_s: int = 1500):
     """The remote compile service occasionally wedges (see STATUS.md); a hung
     XLA call can't be interrupted in-process, so run the measurement in fresh
     subprocesses and retry."""
     import subprocess
     import sys
+
+    if not _probe_tunnel():
+        # fail FAST with a parseable record instead of hanging through
+        # attempts x timeout_s while the tunnel is down
+        print(json.dumps({
+            "metric": "muse_256px_bs1_12step_e2e_latency", "value": None,
+            "unit": "ms", "vs_baseline": None,
+            "error": "tpu tunnel unreachable (jax.devices() probe timed out)",
+        }))
+        return 1
 
     inner_args = [sys.executable, __file__, "--inner"]
     if "--update-allcsv" in sys.argv:
