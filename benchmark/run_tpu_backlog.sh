@@ -34,4 +34,17 @@ echo ">> 4. regenerate README table + chart from all.csv"
 python benchmark/update_readme.py
 python benchmark/muse_chart.py || true
 
+if [[ "$QUICK" == "0" ]]; then
+  echo ">> 5. (optional) retry the bs128 train-step point (crashed the AOT"
+  echo ">>    helper in round 2; the GLU kernel shrank the program since)"
+  python benchmark/bench_train_step.py --sweep --batch-sizes 128 || \
+      echo "WARN: bs128 still fails (environment-bound; labeled row ok)"
+
+  echo ">> 6. (optional) research-scale distillation demo: a few hundred"
+  echo ">>    on-chip distill steps on the staged checkpoint + quality rows"
+  echo ">>    (manual: stage_reference_checkpoint.py -> training.distill"
+  echo ">>    config=configs/distill.yaml distill.teacher_checkpoint=<staged>"
+  echo ">>    training.max_train_steps=300 -> measure_quality --pipeline)"
+fi
+
 echo ">> backlog done; review benchmark/artifacts/all.csv + README diff"
