@@ -260,21 +260,31 @@ class PipelineMuse:
         mask_ratios = jnp.asarray(mask_ratios, jnp.float32)
         empty_ids = self._tokenize([""]) if self.tokenizer is not None else None
 
+        use_cfg = guidance_scale > 0
+
         @jax.jit
         def fused(t_params, te_params, vae_params, input_ids, micro_conds, key):
-            both = jnp.concatenate(
-                [input_ids, jnp.broadcast_to(empty_ids, input_ids.shape)], axis=0)
+            if use_cfg:
+                both = jnp.concatenate(
+                    [input_ids, jnp.broadcast_to(empty_ids, input_ids.shape)],
+                    axis=0)
+            else:
+                # distilled serving config: guidance is folded into the
+                # student's weights (training/distill.py), so there is no
+                # uncond branch — text batch stays B, halving trunk FLOPs
+                both = input_ids
             hidden_states, _, pooled = te_apply({"params": te_params}, both)
             ehs = hidden_states[-2].astype(tdtype)
             pooled = pooled.astype(tdtype)
-            conds = pooled  # [cond | empty] already in CFG order
-            micros = jnp.concatenate([micro_conds, micro_conds], axis=0)
+            conds = pooled  # [cond | empty] already in CFG order (cond-only sans CFG)
+            micros = (jnp.concatenate([micro_conds, micro_conds], axis=0)
+                      if use_cfg else micro_conds)
             start_ids = jnp.full((batch_size, seq_len), tcfg.mask_token_id,
                                  dtype=jnp.int32)
             tokens = parallel_decode_loop(
                 t_apply, tcfg, t_params, start_ids, ehs, conds, micros, key,
                 temperatures, guidance_scales, mask_ratios,
-                use_cfg=guidance_scale > 0, seq_len=seq_len, timesteps=timesteps)
+                use_cfg=use_cfg, seq_len=seq_len, timesteps=timesteps)
             return vae_apply({"params": vae_params}, tokens,
                              method=self.vae.module.decode_code)
 

@@ -268,8 +268,23 @@ def main(argv=None):
     te_cfg = config.model.text_encoder
     if te_cfg.get("pretrained"):
         text_encoder = CLIPTextEncoder.from_pretrained(te_cfg.pretrained)
-        from transformers import AutoTokenizer
-        tokenizer = AutoTokenizer.from_pretrained(te_cfg.pretrained)
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(te_cfg.pretrained)
+        except Exception as e:
+            # same loud fallback as PipelineMuse.from_pretrained: a staged
+            # checkpoint dir carries weights but not tokenizer files, and
+            # offline there is nothing to download.  Distillation is
+            # self-supervised from prompts, so a deterministic hash
+            # tokenizer still yields a valid (if semantically weaker)
+            # conditioning signal — warn, never silently degrade.
+            from ..models.clip_text import SimpleTokenizer
+            logger.warning(
+                f"no tokenizer files at {te_cfg.pretrained} ({e}); falling "
+                "back to SimpleTokenizer — prompts hash-tokenized")
+            tokenizer = SimpleTokenizer(
+                vocab_size=text_encoder.config.vocab_size,
+                model_max_length=text_encoder.config.max_position_embeddings)
     else:
         from ..models.clip_text import SimpleTokenizer
         text_encoder = CLIPTextEncoder(**te_cfg.params.to_dict())

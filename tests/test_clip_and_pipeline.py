@@ -189,6 +189,20 @@ def test_pipeline_compile_text2image_fused(tiny_pipeline):
     assert np.isfinite(np.asarray(images)).all()
 
 
+def test_pipeline_compile_text2image_fused_no_cfg(tiny_pipeline):
+    """Distilled serving config: guidance_scale=0 must run the decode WITHOUT
+    the CFG batch-double (regression: the fused path used to concatenate the
+    empty-prompt batch unconditionally, doubling the scan carry and failing
+    to trace — found by benchmark/muse_perf.py --distilled)."""
+    fused = tiny_pipeline.compile_text2image(batch_size=1, timesteps=3,
+                                             guidance_scale=0.0, seq_len=256)
+    ids = jnp.asarray(DummyTokenizer()(["a"])["input_ids"])
+    micro = jnp.asarray([[512, 512, 0, 0, 6.0]], dtype=jnp.float32)
+    images = fused(ids, micro, jax.random.PRNGKey(0))
+    assert images.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(images)).all()
+
+
 def test_pipeline_class_conditional():
     vae = MaskGitVQGAN(**VAE_TINY)
     transformer = MaskGitTransformer(
