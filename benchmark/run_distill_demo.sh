@@ -39,6 +39,7 @@ python -m open_muse_tpu.training.distill config=configs/distill.yaml \
     experiment.output_dir="$OUT" \
     experiment.save_every="$STEPS" \
     experiment.log_every=5 \
-    lr_scheduler.params.warmup_steps=10
+    lr_scheduler.params.warmup_steps=10 || {
+  echo "distill run failed"; exit 1; }
 
 echo ">> demo done; loss curve in $OUT/metrics.jsonl"

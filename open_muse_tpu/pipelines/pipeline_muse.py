@@ -227,9 +227,10 @@ class PipelineMuse:
                            noise_schedule: str = "cosine"):
         """Compile tokenized-text -> image as ONE XLA program.
 
-        The entire flow — CLIP encode (prompt + empty batched together), the
-        MaskGIT CFG decode loop, and the fp32 VQ decode — fuses into a single
-        dispatch.  This is the TPU-native serving entry point: no host
+        The entire flow — CLIP encode (prompt + empty batched together when
+        guidance_scale > 0; at guidance_scale == 0 the empty-prompt batch is
+        skipped and the text batch stays at B), the MaskGIT CFG decode loop,
+        and the fp32 VQ decode — fuses into a single dispatch.  This is the TPU-native serving entry point: no host
         round-trips between stages (the reference crosses Python between
         every stage and every decode step).
 

@@ -271,7 +271,7 @@ def main(argv=None):
         try:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(te_cfg.pretrained)
-        except Exception as e:
+        except (ImportError, OSError, EnvironmentError, ValueError) as e:
             # same loud fallback as PipelineMuse.from_pretrained: a staged
             # checkpoint dir carries weights but not tokenizer files, and
             # offline there is nothing to download.  Distillation is
