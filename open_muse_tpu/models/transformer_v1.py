@@ -430,7 +430,7 @@ class MaskGitTransformer(ModelMixin):
 
                 key, sample_key, mask_key = jax.random.split(key, 3)
                 logits32 = logits.astype(jnp.float32)
-                from .transformer_v2 import _use_pallas_sample
+                from .transformer_v2 import _pallas_interpret, _use_pallas_sample
 
                 if _use_pallas_sample():
                     # fused streaming sample+confidence kernel (see
@@ -441,7 +441,7 @@ class MaskGitTransformer(ModelMixin):
                     seed = jax.random.randint(sample_key, (), 0, 2 ** 31 - 1,
                                               jnp.int32)
                     sampled_ids, selected_probs = fused_categorical(
-                        seed, logits32)
+                        seed, logits32, interpret=_pallas_interpret())
                     unknown_map = ids == cfg.mask_token_id
                     sampled_ids = jnp.where(unknown_map, sampled_ids, ids)
                 else:

@@ -566,11 +566,15 @@ def _use_pallas_sample() -> bool:
     0.91 vs 2.70 ms — one logits read + on-chip gumbel instead of separate
     categorical/gather/logsumexp passes).  MUSE_TPU_PALLAS_SAMPLE=0 disables
     (falls back to jax.random.categorical; the two are distributionally
-    equivalent but draw different noise for the same key)."""
+    equivalent but draw different noise for the same key).  Multi-device:
+    ON only inside a ``parallel.kernel_mesh`` context (the kernel then
+    shard_maps over the batch axes — ops/pallas/__init__.kernels_enabled)."""
     import os
 
+    from ..ops.pallas import kernels_enabled
+
     return (os.environ.get("MUSE_TPU_PALLAS_SAMPLE", "1") == "1"
-            and jax.default_backend() == "tpu")
+            and kernels_enabled())
 
 
 def _use_pallas_sample_cfg() -> bool:
@@ -579,11 +583,20 @@ def _use_pallas_sample_cfg() -> bool:
     exists in HBM.  ON by default on TPU — measured e2e: 512px/bs1 65.7 ->
     59.4 ms, 512px/bs8 404.9 -> 384.3 ms, peak mem 3.26 -> 2.72 GB
     (STATUS.md).  MUSE_TPU_PALLAS_SAMPLE_CFG=0 falls back to the XLA
-    combine + fused_categorical path."""
+    combine + fused_categorical path.  Multi-device: mesh-gated like
+    _use_pallas_sample."""
     import os
 
+    from ..ops.pallas import kernels_enabled
+
     return (os.environ.get("MUSE_TPU_PALLAS_SAMPLE_CFG", "1") == "1"
-            and jax.default_backend() == "tpu")
+            and kernels_enabled())
+
+
+def _pallas_interpret() -> bool:
+    from ..ops.pallas import interpret_mode
+
+    return interpret_mode()
 
 
 def decode_schedules(timesteps: int, temperature=1.0, guidance_scale: float = 0.0,
@@ -659,7 +672,7 @@ def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
                                       jnp.int32)
             sampled_ids, sampled_sel = fused_categorical_cfg(
                 seed, raw_logits, guidance_scales[step_idx],
-                cfg.codebook_size)
+                cfg.codebook_size, interpret=_pallas_interpret())
             logits = None
         else:
             logits = raw_logits[..., : cfg.codebook_size].astype(jnp.float32)
@@ -675,7 +688,8 @@ def parallel_decode_loop(apply_fn, cfg, params, input_ids, ehs, conds, micros,
 
                 seed = jax.random.randint(sample_key, (), 0, 2 ** 31 - 1,
                                           jnp.int32)
-                sampled_ids, sampled_sel = fused_categorical(seed, logits)
+                sampled_ids, sampled_sel = fused_categorical(
+                    seed, logits, interpret=_pallas_interpret())
             else:
                 sampled_ids = jax.random.categorical(sample_key, logits,
                                                      axis=-1)

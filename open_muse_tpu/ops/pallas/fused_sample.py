@@ -33,10 +33,22 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from ...parallel.kernel_mesh import (current_kernel_mesh, mesh_shard_count,
+                                     shard_index)
 
 __all__ = ["fused_categorical", "fused_categorical_cfg"]
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _grid_dims(n: int, v: int, block_n: int, block_v: int):
+    """(row block, #row blocks, v block, #v blocks) — the same sizing logic
+    both the local kernels and the sharded seed-offset computation use."""
+    bn = min(block_n, n)
+    bv = min(block_v, -(-v // 128) * 128)  # lane-aligned
+    return bn, -(-n // bn), bv, -(-v // bv)
 
 
 def _kernel(seed_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
@@ -104,7 +116,6 @@ def _kernel(seed_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
         sel_ref[...] = jnp.exp(best_logit[...] - lse)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_v", "interpret"))
 def fused_categorical(seed, logits, block_n: int = 256, block_v: int = 2048,
                       interpret: bool = False, gumbel=None):
     """seed (int32 scalar or (1,)), logits (..., V) fp32 ->
@@ -113,21 +124,75 @@ def fused_categorical(seed, logits, block_n: int = 256, block_v: int = 2048,
 
     gumbel: optional pre-drawn noise with logits' shape (the TPU PRNG
     primitives have no interpret-mode lowering; tests pass explicit noise).
+
+    Under an active ``parallel.kernel_mesh`` the rows shard over the mesh
+    batch axes via ``shard_map``; each shard offsets the on-chip PRNG seed
+    by its global row-block index, so the draws stay independent (and match
+    the unsharded stream when local rows divide block_n).
     """
     orig_shape = logits.shape[:-1]
     v = logits.shape[-1]
     n = 1
     for d in orig_shape:
         n *= d
-    x = logits.reshape(n, v).astype(jnp.float32)
-    block_n = min(block_n, n)
+    x = logits.reshape(n, v)
+    g = gumbel.reshape(n, v) if gumbel is not None else None
+
+    km = current_kernel_mesh()
+    if km is not None and mesh_shard_count(*km) > 1:
+        mesh, axes = km
+        nsh = mesh_shard_count(mesh, axes)
+        pad = (-n) % nsh
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            if g is not None:
+                g = jnp.pad(g, ((0, pad), (0, 0)))
+        n_loc = x.shape[0] // nsh
+        bn, n_row_blocks, _, n_v_blocks = _grid_dims(n_loc, v, block_n, block_v)
+
+        def body(seed_s, x_s, *maybe_g):
+            lseed = (jnp.asarray(seed_s, jnp.int32).reshape(())
+                     + shard_index(mesh, axes)
+                     * jnp.int32(n_row_blocks * n_v_blocks))
+            gm = maybe_g[0] if maybe_g else None
+            return _fused_categorical_flat(lseed, x_s, block_n=block_n,
+                                           block_v=block_v,
+                                           interpret=interpret, gumbel=gm)
+
+        args = (jnp.asarray(seed, jnp.int32).reshape(()), x)
+        in_specs = (P(), P(axes, None))
+        if g is not None:
+            args += (g,)
+            in_specs += (P(axes, None),)
+        ids, sel = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=(P(axes), P(axes)),
+                                 check_vma=False)(*args)
+    else:
+        ids, sel = _fused_categorical_flat(seed, x, block_n=block_n,
+                                           block_v=block_v,
+                                           interpret=interpret, gumbel=g)
+    return ids[:n].reshape(orig_shape), sel[:n].reshape(orig_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_v", "interpret"))
+def _fused_categorical_flat(seed, x, block_n: int = 256, block_v: int = 2048,
+                            interpret: bool = False, gumbel=None):
+    """Single-shard implementation over flat (N, V) logits -> ((N,), (N,))."""
+    n, v = x.shape
+    x = x.astype(jnp.float32)
+    if interpret and gumbel is None:
+        # the TPU PRNG primitives have no interpreter lowering — draw the
+        # noise host-side from the same seed so CPU CI can run the full
+        # default-on kernel path (distributionally identical)
+        gumbel = jax.random.gumbel(
+            jax.random.PRNGKey(jnp.asarray(seed, jnp.int32).reshape(())),
+            (n, v), jnp.float32)
     # lane-aligned v-block; any vocab works — the final (or only) block is
     # ceil-div sized and masked to the true vocab in-kernel
-    block_v = min(block_v, -(-v // 128) * 128)
+    block_n, _, block_v, n_v_blocks = _grid_dims(n, v, block_n, block_v)
     pad_n = (-n) % block_n
     if pad_n:
         x = jnp.pad(x, ((0, pad_n), (0, 0)))
-    n_v_blocks = -(-v // block_v)
     grid = (x.shape[0] // block_n, n_v_blocks)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     onchip_rng = gumbel is None
@@ -138,7 +203,7 @@ def fused_categorical(seed, logits, block_n: int = 256, block_v: int = 2048,
                      memory_space=pltpu.VMEM),
     ]
     if not onchip_rng:
-        gf = gumbel.reshape(n, v).astype(jnp.float32)
+        gf = gumbel.astype(jnp.float32)
         if pad_n:
             gf = jnp.pad(gf, ((0, pad_n), (0, 0)))
         inputs.append(gf)
@@ -168,9 +233,7 @@ def fused_categorical(seed, logits, block_n: int = 256, block_v: int = 2048,
         ],
         interpret=interpret,
     )(*inputs)
-    ids = ids[:n, 0].reshape(orig_shape)
-    sel = sel[:n, 0].reshape(orig_shape)
-    return ids, sel
+    return ids[:n, 0], sel[:n, 0]
 
 
 def _cfg_kernel(seed_ref, g_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
@@ -236,8 +299,6 @@ def _cfg_kernel(seed_ref, g_ref, x_ref, *rest, n_v_blocks: int, block_v: int,
         sel_ref[...] = jnp.exp(best_logit[...] - lse)
 
 
-@functools.partial(jax.jit, static_argnames=("vocab_limit", "block_n",
-                                             "block_v", "interpret"))
 def fused_categorical_cfg(seed, logits, guidance, vocab_limit: int,
                           block_n: int = 256, block_v: int = 2048,
                           interpret: bool = False, gumbel=None):
@@ -249,17 +310,71 @@ def fused_categorical_cfg(seed, logits, guidance, vocab_limit: int,
     logits[..., :vocab_limit].astype(f32), then categorical + softmax-gather
     — but the combined fp32 tensor, the vocab crop and the cond/uncond split
     copies never touch HBM.
+
+    Under an active ``parallel.kernel_mesh`` the (cond, uncond) pair axis is
+    replicated and rows shard over the mesh batch axes (shard_map), so every
+    shard holds matching cond/uncond rows and the pallas_call stays local.
     """
     two_b, s, v_raw = logits.shape
     b = two_b // 2
     n = b * s
     x = logits.reshape(2, n, v_raw)
-    block_n = min(block_n, n)
+    g = gumbel.reshape(n, v_raw) if gumbel is not None else None
+
+    km = current_kernel_mesh()
+    if km is not None and mesh_shard_count(*km) > 1:
+        mesh, axes = km
+        nsh = mesh_shard_count(mesh, axes)
+        pad = (-n) % nsh
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            if g is not None:
+                g = jnp.pad(g, ((0, pad), (0, 0)))
+        n_loc = x.shape[1] // nsh
+        _, n_row_blocks, _, n_v_blocks = _grid_dims(n_loc, v_raw, block_n,
+                                                    block_v)
+
+        def body(seed_s, guid_s, x_s, *maybe_g):
+            lseed = (jnp.asarray(seed_s, jnp.int32).reshape(())
+                     + shard_index(mesh, axes)
+                     * jnp.int32(n_row_blocks * n_v_blocks))
+            gm = maybe_g[0] if maybe_g else None
+            return _fused_categorical_cfg_flat(
+                lseed, x_s, guid_s, vocab_limit, block_n=block_n,
+                block_v=block_v, interpret=interpret, gumbel=gm)
+
+        args = (jnp.asarray(seed, jnp.int32).reshape(()),
+                jnp.asarray(guidance, jnp.float32).reshape(()), x)
+        in_specs = (P(), P(), P(None, axes, None))
+        if g is not None:
+            args += (g,)
+            in_specs += (P(axes, None),)
+        ids, sel = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=(P(axes), P(axes)),
+                                 check_vma=False)(*args)
+    else:
+        ids, sel = _fused_categorical_cfg_flat(
+            seed, x, guidance, vocab_limit, block_n=block_n, block_v=block_v,
+            interpret=interpret, gumbel=g)
+    return ids[:n].reshape(b, s), sel[:n].reshape(b, s)
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_limit", "block_n",
+                                             "block_v", "interpret"))
+def _fused_categorical_cfg_flat(seed, x, guidance, vocab_limit: int,
+                                block_n: int = 256, block_v: int = 2048,
+                                interpret: bool = False, gumbel=None):
+    """Single-shard CFG implementation over (2, N, V_raw) -> ((N,), (N,))."""
+    _, n, v_raw = x.shape
+    if interpret and gumbel is None:
+        # no interpreter lowering for the TPU PRNG — see _fused_categorical_flat
+        gumbel = jax.random.gumbel(
+            jax.random.PRNGKey(jnp.asarray(seed, jnp.int32).reshape(())),
+            (n, v_raw), jnp.float32)
+    block_n, _, block_v, n_v_blocks = _grid_dims(n, v_raw, block_n, block_v)
     pad_n = (-n) % block_n
     if pad_n:
         x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
-    block_v = min(block_v, -(-v_raw // 128) * 128)  # lane-aligned
-    n_v_blocks = -(-v_raw // block_v)  # ceil: final block masked in-kernel
     grid = (x.shape[1] // block_n, n_v_blocks)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     guidance = jnp.asarray(guidance, jnp.float32).reshape(1)
@@ -302,6 +417,4 @@ def fused_categorical_cfg(seed, logits, guidance, vocab_limit: int,
         ],
         interpret=interpret,
     )(*inputs)
-    ids = ids[:n, 0].reshape(b, s)
-    sel = sel[:n, 0].reshape(b, s)
-    return ids, sel
+    return ids[:n, 0], sel[:n, 0]

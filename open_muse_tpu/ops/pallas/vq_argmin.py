@@ -11,6 +11,12 @@ codebook never has to fit VMEM at once.
 
 Distance note: argmin_k ||z - e_k||^2 == argmin_k (||e_k||^2 - 2 z.e_k), so
 the per-row ||z||^2 term is dropped entirely.
+
+Mesh composability (round-4): the search is row-parallel, so under an active
+``parallel.kernel_mesh`` context the kernel runs inside ``jax.shard_map``
+over the batch axes — each device searches only its local rows against the
+replicated codebook, and the SPMD partitioner never sees (so never
+all-gathers around) the opaque ``pallas_call``.
 """
 
 from __future__ import annotations
@@ -21,6 +27,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from ...parallel.kernel_mesh import current_kernel_mesh, mesh_shard_count
 
 __all__ = ["vq_argmin"]
 
@@ -54,14 +63,37 @@ def _kernel(z_ref, cb_ref, e_sq_ref, idx_ref, best_val, best_idx, *,
         idx_ref[:, :] = best_idx[:, :]
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
 def vq_argmin(flat_states, codebook, block_k: int = 1024,
               interpret: bool = False):
     """argmin_k ||z_n - e_k||^2 for z (N, C), codebook (K, C) -> (N,) int32.
 
     Requires K % block_k == 0 (all reference codebooks are powers of two
-    >= 1024); N pads to 1024 rows internally.
+    >= 1024); N pads to 1024 rows internally.  Under an active
+    ``parallel.kernel_mesh`` the call shards rows over the mesh batch axes
+    via ``shard_map`` (codebook replicated); results are identical to the
+    unsharded kernel (the search is deterministic and row-independent).
     """
+    km = current_kernel_mesh()
+    if km is not None and mesh_shard_count(*km) > 1:
+        mesh, axes = km
+        nsh = mesh_shard_count(mesh, axes)
+        n = flat_states.shape[0]
+        pad = (-n) % nsh  # equal local row counts; local impl pads the rest
+        z = jnp.pad(flat_states, ((0, pad), (0, 0))) if pad else flat_states
+        out = jax.shard_map(
+            functools.partial(_vq_argmin_local, block_k=block_k,
+                              interpret=interpret),
+            mesh=mesh, in_specs=(P(axes, None), P(None, None)),
+            out_specs=P(axes), check_vma=False,
+        )(z, codebook)
+        return out[:n]
+    return _vq_argmin_local(flat_states, codebook, block_k=block_k,
+                            interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def _vq_argmin_local(flat_states, codebook, block_k: int = 1024,
+                     interpret: bool = False):
     n, c = flat_states.shape
     k = codebook.shape[0]
     block_k = min(block_k, k)

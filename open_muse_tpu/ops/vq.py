@@ -26,15 +26,17 @@ __all__ = ["VectorQuantizer", "compute_distances", "nearest_codebook_indices"]
 def _use_pallas_argmin(n, c, k) -> bool:
     """Dispatch the fused Pallas kernel (measured 10.7x faster than the XLA
     distance-matrix path at N=16k, K=8192, C=256 on v5e, with exact argmin
-    agreement).  On by default on TPU for K a multiple of 1024; set
+    agreement).  On by default on single-device TPU for K a multiple of 1024
+    — and on a mesh inside a ``parallel.kernel_mesh`` context (shard_map
+    keeps the call local, ops/pallas/__init__.kernels_enabled); set
     MUSE_TPU_PALLAS_VQ=0 to force the XLA path."""
     import os
 
     if os.environ.get("MUSE_TPU_PALLAS_VQ", "1") != "1":
         return False
-    if jax.default_backend() != "tpu":
-        return False
-    return k % 1024 == 0
+    from .pallas import kernels_enabled
+
+    return kernels_enabled() and k % 1024 == 0
 
 
 def nearest_codebook_indices(flat_states, codebook, metric: str = "sq_l2"):
@@ -43,9 +45,10 @@ def nearest_codebook_indices(flat_states, codebook, metric: str = "sq_l2"):
     n, c = flat_states.shape
     k = codebook.shape[0]
     if _use_pallas_argmin(n, c, k):
+        from .pallas import interpret_mode
         from .pallas.vq_argmin import vq_argmin
 
-        return vq_argmin(flat_states, codebook)
+        return vq_argmin(flat_states, codebook, interpret=interpret_mode())
     return jnp.argmin(compute_distances(flat_states, codebook, metric), axis=1)
 
 

