@@ -15,6 +15,12 @@ import sys
 # tunnel-outage env that unsets PALLAS_AXON_POOL_IPS, STATUS.md).
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# Scrub the axon PJRT registration entirely: plugin *init* goes through the
+# TPU tunnel even when the platform is forced to cpu, and hangs for every
+# python process while another client holds a large remote compile
+# (STATUS.md environment gotchas).  Tests are CPU-only by design, so dropping
+# the registration makes the suite immune to tunnel contention/outages.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
