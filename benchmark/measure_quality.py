@@ -219,6 +219,16 @@ def distill_compare_mode(args):
           f"cfg={args.cfg}")
     teacher_images = _generate_set(pipe, captions, args.timesteps, args.cfg,
                                    args.batch_size, args.seed)
+    # CONTROL (round-4): the undistilled step-cut baseline — the TEACHER
+    # model run at the student's serving config (K steps, no CFG).  Its FID
+    # against the teacher set is the separation the metric must show for the
+    # student's number to mean anything; if the control also lands at the
+    # noise floor, the extractor is saturated at this scale and the rows say
+    # so instead of claiming a win.
+    print(f"step-cut control set: {len(captions)} images at {k_steps}-step "
+          f"no-CFG (teacher weights)")
+    control_images = _generate_set(pipe, captions, k_steps, 0.0,
+                                   args.batch_size, args.seed + 2)
     print(f"student set: {len(captions)} images at {k_steps}-step no-CFG")
     pipe.transformer = MaskGiTUViT_v2.from_pretrained(args.student_transformer)
     student_images = _generate_set(pipe, captions, k_steps, 0.0,
@@ -243,22 +253,36 @@ def distill_compare_mode(args):
     for extractor, label, metric in extractors:
         fid_ts = fid_between_image_sets(teacher_images, student_images,
                                         extractor)
+        fid_control = fid_between_image_sets(teacher_images, control_images,
+                                             extractor)
         half = n // 2
         floor = fid_between_image_sets(teacher_images[:half],
                                        teacher_images[half:2 * half],
                                        extractor)
         if fid_ts_primary is None:
             fid_ts_primary = fid_ts
+        separated = fid_control > max(10 * max(floor, 1e-6), 0.05)
+        sens = ("metric separates at this scale" if separated else
+                "WARNING: step-cut control at noise floor too - extractor "
+                "saturated at this scale, rows are not evidence of quality")
         rows.append(dict(protocol=proto, metric=f"{metric}_teacher_vs_student",
                          value=round(fid_ts, 3), extractor=label, n_images=n,
                          notes=f"distilled {k_steps}-step no-CFG student vs "
-                               f"its {args.timesteps}-step CFG teacher"))
+                               f"its {args.timesteps}-step CFG teacher; "
+                               f"{sens}"))
+        rows.append(dict(protocol=proto,
+                         metric=f"{metric}_teacher_vs_stepcut_control",
+                         value=round(fid_control, 3), extractor=label,
+                         n_images=n,
+                         notes=f"UNDISTILLED teacher at {k_steps}-step no-CFG "
+                               "(the separation the metric must show)"))
         rows.append(dict(protocol=proto, metric=f"{metric}_teacher_selfhalf",
                          value=round(floor, 3), extractor=label,
                          n_images=2 * half,
                          notes="teacher split-half (estimator noise floor)"))
         print(f"distill-research: {metric} teacher-vs-student={fid_ts:.3f} "
-              f"(teacher self-half floor {floor:.3f}, n={n})")
+              f"step-cut-control={fid_control:.3f} "
+              f"(teacher self-half floor {floor:.3f}, n={n}) [{sens}]")
     return rows, fid_ts_primary is not None
 
 

@@ -87,6 +87,23 @@ def _norm(cfg, dim, name, dtype):
                 elementwise_affine=cfg.ln_elementwise_affine, name=name, dtype=dtype)
 
 
+def _use_fused_attn_sublayer(cfg, x) -> bool:
+    """Route both trunk attention sublayers through the fused Pallas kernel
+    (ops/pallas/attn_sublayer, round-4 mega-kernel): research-config shapes
+    (rmsnorm+affine, no bias, head_dim 64) on single-device TPU, or under
+    MUSE_TPU_PALLAS_INTERPRET on CPU.  The unfused path stays the oracle."""
+    if (cfg.norm_type != "rmsnorm" or cfg.use_bias
+            or not cfg.ln_elementwise_affine):
+        return False
+    from ..ops.pallas.attn_sublayer import (sublayer_shapes_supported,
+                                            use_pallas_attn_sublayer)
+
+    if x is None or x.ndim != 3 or not sublayer_shapes_supported(
+            x.shape[1], cfg.hidden_size, cfg.num_attention_heads):
+        return False
+    return use_pallas_attn_sublayer()
+
+
 class Norm2D(nn.Module):
     """Channels-last norm over NHWC maps; inner child named 'norm' to match
     the reference param tree (modeling_transformer_v2.py:624-633)."""
@@ -407,6 +424,9 @@ class TransformerLayer(nn.Module):
                     None, cond_embeds, precompute=True),
             }
         ctx = ctx or {}
+        if _use_fused_attn_sublayer(cfg, x):
+            return self._fused_sublayers(x, encoder_hidden_states, cond_embeds,
+                                         residual, ctx)
         x, residual = _norm(cfg, cfg.hidden_size, "attn_layer_norm", self.dtype)(
             x, residual, return_residual=True)
         x = AdaLNModulation(cfg.hidden_size, cfg.hidden_size, use_bias=cfg.use_bias,
@@ -422,6 +442,55 @@ class TransformerLayer(nn.Module):
         x = Attention(cfg.hidden_size, cfg.num_attention_heads, use_bias=cfg.use_bias,
                       name="crossattention", dtype=self.dtype)(
             x, encoder_hidden_states, cached_kv=ctx.get("cross_kv"))
+        x, residual = GLUFeedForward(cfg, name="ffn", dtype=self.dtype)(
+            x, cond_embeds, residual, adaln_cache=ctx.get("ffn_adaln"))
+        return x, residual
+
+    def _fused_sublayers(self, x, encoder_hidden_states, cond_embeds,
+                         residual, ctx):
+        """Both attention sublayers through the fused Pallas kernels
+        (ops/pallas/attn_sublayer — round-4 mega-kernel).  Params are created
+        through the SAME submodules/names as the unfused path, so the
+        checkpoint tree is identical whichever branch runs."""
+        from ..ops.pallas.attn_sublayer import (attn_sublayer_cross,
+                                                attn_sublayer_self)
+
+        cfg = self.config
+        s1 = _norm(cfg, cfg.hidden_size, "attn_layer_norm", self.dtype)(
+            None, params_only=True)
+        self_adaln = ctx.get("self_adaln")
+        if self_adaln is None:
+            self_adaln = AdaLNModulation(
+                cfg.hidden_size, cfg.hidden_size, use_bias=cfg.use_bias,
+                name="self_attn_adaLN_modulation", dtype=self.dtype)(
+                None, cond_embeds, precompute=True)
+        w_self = Attention(cfg.hidden_size, cfg.num_attention_heads,
+                           use_bias=cfg.use_bias, name="attention",
+                           dtype=self.dtype)(x, return_weights=True)
+        x, residual = attn_sublayer_self(
+            x, residual, s1, self_adaln, w_self["wqkv"], w_self["wout"],
+            num_heads=cfg.num_attention_heads, eps=cfg.layer_norm_eps)
+
+        s2 = _norm(cfg, cfg.hidden_size, "crossattn_layer_norm", self.dtype)(
+            None, params_only=True)
+        cross_adaln = ctx.get("cross_adaln")
+        if cross_adaln is None:
+            cross_adaln = AdaLNModulation(
+                cfg.hidden_size, cfg.hidden_size, use_bias=cfg.use_bias,
+                name="cross_attn_adaLN_modulation", dtype=self.dtype)(
+                None, cond_embeds, precompute=True)
+        w_cross = Attention(cfg.hidden_size, cfg.num_attention_heads,
+                            use_bias=cfg.use_bias, name="crossattention",
+                            dtype=self.dtype)(x, return_weights=True)
+        kv = ctx.get("cross_kv")
+        if kv is None:
+            # same math as Attention(precompute_kv=True): ehs @ [Wk|Wv]
+            kv = jnp.dot(encoder_hidden_states.astype(self.dtype),
+                         w_cross["wkv"])
+        x, residual = attn_sublayer_cross(
+            x, residual, s2, cross_adaln, w_cross["wq"], w_cross["wout"], kv,
+            num_heads=cfg.num_attention_heads, eps=cfg.layer_norm_eps)
+
         x, residual = GLUFeedForward(cfg, name="ffn", dtype=self.dtype)(
             x, cond_embeds, residual, adaln_cache=ctx.get("ffn_adaln"))
         return x, residual

@@ -51,11 +51,16 @@ class RMSNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, residual=None, return_residual: bool = False):
+    def __call__(self, x, residual=None, return_residual: bool = False,
+                 params_only: bool = False):
         if self.elementwise_affine:
             scale = self.param("scale", nn.initializers.ones, (self.dim,))
         else:
             scale = jnp.ones((self.dim,), dtype=jnp.float32)
+        if params_only:
+            # fused attn-sublayer path: the Pallas kernel applies the norm
+            # itself and only needs the affine scale (ops/pallas/attn_sublayer)
+            return scale
         if _use_pallas_norm() and x.shape[-1] % 128 == 0:
             from .pallas.fused_norm import fused_residual_rmsnorm
 
@@ -243,21 +248,28 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, context=None, attention_mask=None,
-                 cached_kv=None, precompute_kv: bool = False):
+                 cached_kv=None, precompute_kv: bool = False,
+                 return_weights: bool = False):
         """``precompute_kv``/``cached_kv`` support decode-loop hoisting: for
         cross attention the fused [k|v] projection depends only on the text
         context, constant across MaskGIT decode steps.  ``precompute_kv=True``
         returns the (B, kv_len, 2*hidden) kv tensor; passing it back as
-        ``cached_kv`` skips the projection."""
+        ``cached_kv`` skips the projection.
+
+        ``return_weights=True`` creates the full q/k/v/out param set and
+        returns the raw (dtype-cast) kernels instead of applying attention —
+        the fused Pallas attention-sublayer path (ops/pallas/attn_sublayer)
+        consumes them directly while the checkpoint tree stays identical.
+        No-bias configs only (the research config; kernels have no bias)."""
         self_attn = context is None and cached_kv is None
-        if self_attn:
+        if self_attn or return_weights:
             context = hidden_states
         head_dim = self.hidden_size // self.num_heads
         q_in = hidden_states.shape[-1]
         kv_in = context.shape[-1] if context is not None else None
         wq, bq = _ProjParams(q_in, self.hidden_size, self.use_bias,
                              name="query")()
-        if cached_kv is None:
+        if cached_kv is None or return_weights:
             wk, bk = _ProjParams(kv_in, self.hidden_size, self.use_bias,
                                  name="key")()
             wv, bv = _ProjParams(kv_in, self.hidden_size, self.use_bias,
@@ -274,6 +286,16 @@ class Attention(nn.Module):
             good = [p for p in parts if p is not None]
             return jnp.concatenate([p.astype(self.dtype) for p in good],
                                    axis=-1) if good else None
+
+        wo, bo = _ProjParams(self.hidden_size, self.hidden_size,
+                             self.use_bias, name="out")()
+
+        if return_weights:
+            if self.use_bias:
+                raise NotImplementedError(
+                    "return_weights (fused attn sublayer) is no-bias only")
+            return {"wq": wq.astype(self.dtype), "wkv": cat([wk, wv]),
+                    "wqkv": cat([wq, wk, wv]), "wout": wo.astype(self.dtype)}
 
         if precompute_kv:
             return matmul(context, cat([wk, wv]),
@@ -303,5 +325,7 @@ class Attention(nn.Module):
         else:
             attn = dot_product_attention(q, k, v)
         attn = attn.reshape(batch, q_len, self.hidden_size)
-        return nn.Dense(self.hidden_size, use_bias=self.use_bias,
-                        dtype=self.dtype, name="out")(attn)
+        # "out" is a _ProjParams (kernel/bias names identical to the former
+        # nn.Dense) so return_weights can hand the raw kernel to the fused
+        # sublayer kernel; matmul() reproduces nn.Dense(dtype=...) exactly
+        return matmul(attn, wo, bo)

@@ -1,0 +1,377 @@
+"""Fused attention sublayer (Pallas TPU kernel) — the round-4 mega-kernel
+attempt (VERDICT round-4 item 4).
+
+Workload: the MaskGiTUViT_v2 trunk at 512px/bs8 decode
+(reference muse/modeling_transformer_v2.py:757-792, 22 layers).  The
+round-2/3 per-op accounting leaves two bounds XLA cannot close on its own:
+the head_dim-64 QK/PV contractions fill the 128x128 MXU <=50%, and a
+~2 ms/step tail of sub-30 us fusions (norms, AdaLN applies, softmax chains,
+reshapes) pays XLA per-op dispatch overhead hundreds of times per step.
+
+This kernel fuses ONE ENTIRE attention sublayer per launch:
+
+    h   = x + residual                       (prenorm residual, bf16 add)
+    n   = rmsnorm(h) * ln_scale              (fp32 variance)
+    a   = n * (1 + adaln_scale) + adaln_shift
+    qkv = a @ Wqkv          (self)    |  q = a @ Wq            (cross)
+    o_h = softmax(q_h k_h^T / sqrt(d)) v_h   (fp32 softmax, per head)
+    out = concat(o_h) @ Wout
+    -> (out, h)
+
+Grid is one cell per batch element: the (S, 3D) qkv block, all per-head
+logits and the attention output never touch HBM, and Mosaic's pipeline
+overlaps the next cell's DMA with the current cell's matmuls.  Heads are
+processed in PAIRS so every VMEM slice lands on a 128-lane boundary
+(head_dim 64 would otherwise force a relayout per access).
+
+The backward is the plain XLA expression's VJP (same policy as
+ops/pallas/glu_matmul.py): the kernel targets the decode/serving forward;
+training keeps XLA's fusion landscape.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["attn_sublayer_self", "attn_sublayer_cross",
+           "use_pallas_attn_sublayer", "sublayer_shapes_supported"]
+
+# trunk shape budget: S<=512 keeps the (S,3D) qkv block + per-pair logits
+# comfortably inside VMEM next to the resident weights (<= ~12 MB total)
+MAX_SEQ = 512
+MAX_HIDDEN = 2048
+# the research self sublayer sits at ~17 MB scoped VMEM (resident Wqkv 6 MB +
+# double-buffered activations + qkv scratch); the compiler's default scoped
+# limit is 16 MB, well under the v5e's physical VMEM — raise it explicitly
+VMEM_LIMIT = 32 * 1024 * 1024
+
+# measured end-to-end at 512px/bs8/12-step: 332.8 ms vs 375.2 ms with the
+# kernel off (round-4, muse_perf one-case; chain harness: self sublayer 625
+# vs 678 us, staged-softmax restructure) — default ON single-device TPU
+_DEFAULT_ON = True
+
+
+def use_pallas_attn_sublayer() -> bool:
+    """Default ON for single-device TPU (measured win at the research trunk,
+    STATUS.md round 4), OFF otherwise; MUSE_TPU_PALLAS_ATTN_SUBLAYER=0/1
+    overrides.  Multi-device stays OFF: pallas_call is opaque to the SPMD
+    partitioner and the operands include tp-shardable weight matrices (same
+    policy as the GLU kernel, ops/pallas/glu_matmul.py)."""
+    env = os.environ.get("MUSE_TPU_PALLAS_ATTN_SUBLAYER")
+    if env is not None:
+        return env == "1"
+    if not _DEFAULT_ON:
+        return False
+    try:
+        # NOT keyed on MUSE_TPU_PALLAS_INTERPRET like the row-parallel
+        # kernels: this kernel is not mesh-composable, and the multichip
+        # dryrun flips interpret mode on globally while running pjit over
+        # the virtual mesh — only the explicit env above enables it off-TPU.
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
+    except Exception:
+        return False
+
+
+def sublayer_shapes_supported(seq: int, hidden: int, num_heads: int) -> bool:
+    """Kernel constraints: 128-aligned hidden, head_dim 64 in even-head pairs
+    (every slice then lands on a 128-lane boundary), trunk-sized sequences."""
+    if hidden % 128 or num_heads <= 0 or hidden // num_heads != 64:
+        return False
+    if num_heads % 2:
+        return False
+    return 8 <= seq <= MAX_SEQ and seq % 8 == 0 and hidden <= MAX_HIDDEN
+
+
+def _interpret() -> bool:
+    from . import interpret_mode
+
+    return interpret_mode() or jax.default_backend() != "tpu"
+
+
+def _rmsnorm_adaln(x_ref, res_ref, scale_ref, adaln_ref, eps, dim):
+    """Shared prologue: bf16 residual add, fp32-variance rmsnorm, AdaLN.
+
+    Precision matches ops/layers.RMSNorm + AdaLNModulation exactly: the
+    residual add and the scale/shift run in the input dtype, only the
+    variance/rsqrt is fp32."""
+    h = x_ref[0] + res_ref[0]
+    var = jnp.mean(jnp.square(h.astype(jnp.float32)), axis=-1, keepdims=True)
+    n = h * jax.lax.rsqrt(var + eps).astype(h.dtype)
+    n = n * scale_ref[:, :].astype(h.dtype)           # (1, D) broadcast
+    mapped = adaln_ref[0]                             # (1, 2D)
+    a_scale = mapped[:, :dim]
+    a_shift = mapped[:, dim:]
+    a = n * (1.0 + a_scale.astype(h.dtype)) + a_shift.astype(h.dtype)
+    return h, a
+
+
+def _heads_attention(read_qp, read_kp, read_vp, out_ref, logits_scr, p_scr,
+                     seq, num_heads, sm_scale, kv_len=None):
+    """All-heads attention in three staged passes: every QK^T dot back to
+    back (MXU stays busy, no softmax in between), ONE softmax over the
+    stacked (H*S, L) logits (a single vectorized VPU pass instead of H
+    serialized chains — the measured fixed cost of the v1 per-head loop),
+    then every PV dot.  Heads stay in 128-wide PAIRS so all VMEM slices are
+    lane-aligned."""
+    for hp in range(num_heads // 2):
+        qp = read_qp(hp)                      # (S, 128) = heads 2hp, 2hp+1
+        kp = read_kp(hp)                      # (L, 128)
+        for j in (0, 1):
+            h_idx = 2 * hp + j
+            q = qp[:, j * 64:(j + 1) * 64]
+            k = kp[:, j * 64:(j + 1) * 64]
+            logits_scr[h_idx * seq:(h_idx + 1) * seq, :] = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+    logits = logits_scr[:, :]
+    if kv_len is not None and kv_len < logits.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, jnp.finfo(jnp.float32).min)
+    logits -= jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits)
+    p_scr[:, :] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(p_scr.dtype)
+    for hp in range(num_heads // 2):
+        vp = read_vp(hp)                      # (L, 128)
+        outs = []
+        for j in (0, 1):
+            h_idx = 2 * hp + j
+            outs.append(jax.lax.dot_general(
+                p_scr[h_idx * seq:(h_idx + 1) * seq, :],
+                vp[:, j * 64:(j + 1) * 64],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype))
+        out_ref[:, hp * 128:(hp + 1) * 128] = jnp.concatenate(outs, axis=1)
+
+
+def _self_kernel(x_ref, res_ref, scale_ref, adaln_ref, wqkv_ref, wout_ref,
+                 out_ref, resout_ref, qkv_scr, attn_scr, logits_scr, p_scr,
+                 *, num_heads, eps, dim):
+    h, a = _rmsnorm_adaln(x_ref, res_ref, scale_ref, adaln_ref, eps, dim)
+    resout_ref[0] = h
+    qkv_scr[:, :] = jax.lax.dot_general(
+        a, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(a.dtype)
+    _heads_attention(
+        lambda hp: qkv_scr[:, hp * 128:(hp + 1) * 128],
+        lambda hp: qkv_scr[:, dim + hp * 128:dim + (hp + 1) * 128],
+        lambda hp: qkv_scr[:, 2 * dim + hp * 128:2 * dim + (hp + 1) * 128],
+        attn_scr, logits_scr, p_scr, x_ref.shape[1], num_heads,
+        1.0 / math.sqrt(dim // num_heads))
+    out_ref[0] = jax.lax.dot_general(
+        attn_scr[:, :], wout_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def _cross_kernel(x_ref, res_ref, scale_ref, adaln_ref, wq_ref, wout_ref,
+                  kv_ref, out_ref, resout_ref, q_scr, attn_scr, logits_scr,
+                  p_scr, *, num_heads, eps, dim, kv_len):
+    h, a = _rmsnorm_adaln(x_ref, res_ref, scale_ref, adaln_ref, eps, dim)
+    resout_ref[0] = h
+    q_scr[:, :] = jax.lax.dot_general(
+        a, wq_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(a.dtype)
+    _heads_attention(
+        lambda hp: q_scr[:, hp * 128:(hp + 1) * 128],
+        lambda hp: kv_ref[0, :, hp * 128:(hp + 1) * 128],
+        lambda hp: kv_ref[0, :, dim + hp * 128:dim + (hp + 1) * 128],
+        attn_scr, logits_scr, p_scr, x_ref.shape[1], num_heads,
+        1.0 / math.sqrt(dim // num_heads), kv_len=kv_len)
+    out_ref[0] = jax.lax.dot_general(
+        attn_scr[:, :], wout_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def _bsd_spec(seq, dim):
+    return pl.BlockSpec((1, seq, dim), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _full_spec():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _row_spec(cols):
+    # (B, 1, cols) with a (1, 1, cols) block: Mosaic requires the last two
+    # block dims to be (8,128)-divisible or equal to the array dims — a flat
+    # (1, cols) block over (B, cols) violates the sublane rule
+    return pl.BlockSpec((1, 1, cols), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _self_primal(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps,
+                 interpret):
+    b, s, d = x.shape
+    out, res_out = pl.pallas_call(
+        functools.partial(_self_kernel, num_heads=num_heads, eps=eps, dim=d),
+        grid=(b,),
+        in_specs=[_bsd_spec(s, d), _bsd_spec(s, d),
+                  pl.BlockSpec((1, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  _row_spec(2 * d), _full_spec(), _full_spec()],
+        out_specs=(_bsd_spec(s, d), _bsd_spec(s, d)),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x.shape, x.dtype)),
+        scratch_shapes=[pltpu.VMEM((s, 3 * d), x.dtype),
+                        pltpu.VMEM((s, d), x.dtype),
+                        pltpu.VMEM((num_heads * s, s), jnp.float32),
+                        pltpu.VMEM((num_heads * s, s), x.dtype)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 1, 2 * d), wqkv, wout)
+    return out, res_out
+
+
+def _cross_primal(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps,
+                  kv_len, interpret):
+    b, s, d = x.shape
+    l_pad = kv.shape[1]
+    out, res_out = pl.pallas_call(
+        functools.partial(_cross_kernel, num_heads=num_heads, eps=eps, dim=d,
+                          kv_len=kv_len),
+        grid=(b,),
+        in_specs=[_bsd_spec(s, d), _bsd_spec(s, d),
+                  pl.BlockSpec((1, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  _row_spec(2 * d), _full_spec(), _full_spec(),
+                  _bsd_spec(l_pad, 2 * d)],
+        out_specs=(_bsd_spec(s, d), _bsd_spec(s, d)),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x.shape, x.dtype)),
+        scratch_shapes=[pltpu.VMEM((s, d), x.dtype),
+                        pltpu.VMEM((s, d), x.dtype),
+                        pltpu.VMEM((num_heads * s, l_pad), jnp.float32),
+                        pltpu.VMEM((num_heads * s, l_pad), x.dtype)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 1, 2 * d), wq, wout, kv)
+    return out, res_out
+
+
+def _xla_attention(q, k, v, num_heads, kv_len=None):
+    b, s, d = q.shape
+    hd = d // num_heads
+    lk = k.shape[1]
+    q = q.reshape(b, s, num_heads, hd)
+    k = k.reshape(b, lk, num_heads, hd)
+    v = v.reshape(b, lk, num_heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+    if kv_len is not None and kv_len < lk:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
+        logits = jnp.where(col < kv_len, logits, jnp.finfo(jnp.float32).min)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, s, d)
+
+
+def _xla_ref_self(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps):
+    """Pure-XLA expression of the self sublayer (backward + fallback parity
+    oracle); precision mirrors RMSNorm/AdaLNModulation/Attention exactly."""
+    h = x + res
+    var = jnp.mean(jnp.square(h.astype(jnp.float32)), axis=-1, keepdims=True)
+    n = h * jax.lax.rsqrt(var + eps).astype(h.dtype)
+    n = n * ln_scale.astype(h.dtype)
+    a_scale, a_shift = jnp.split(adaln, 2, axis=-1)
+    a = n * (1.0 + a_scale[:, None, :].astype(h.dtype)) \
+        + a_shift[:, None, :].astype(h.dtype)
+    qkv = jnp.dot(a, wqkv)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    attn = _xla_attention(q, k, v, num_heads)
+    return jnp.dot(attn, wout), h
+
+
+def _xla_ref_cross(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps,
+                   kv_len):
+    h = x + res
+    var = jnp.mean(jnp.square(h.astype(jnp.float32)), axis=-1, keepdims=True)
+    n = h * jax.lax.rsqrt(var + eps).astype(h.dtype)
+    n = n * ln_scale.astype(h.dtype)
+    a_scale, a_shift = jnp.split(adaln, 2, axis=-1)
+    a = n * (1.0 + a_scale[:, None, :].astype(h.dtype)) \
+        + a_shift[:, None, :].astype(h.dtype)
+    q = jnp.dot(a, wq)
+    k, v = jnp.split(kv, 2, axis=-1)
+    attn = _xla_attention(q, k, v, num_heads, kv_len=kv_len)
+    return jnp.dot(attn, wout), h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _self(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps, interpret):
+    return _self_primal(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps,
+                        interpret)
+
+
+def _self_fwd(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps, interpret):
+    return (_self_primal(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps,
+                         interpret),
+            (x, res, ln_scale, adaln, wqkv, wout))
+
+
+def _self_bwd(num_heads, eps, interpret, saved, g):
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ref_self(*a, num_heads=num_heads, eps=eps), *saved)
+    return vjp(g)
+
+
+_self.defvjp(_self_fwd, _self_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _cross(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps, kv_len,
+           interpret):
+    return _cross_primal(x, res, ln_scale, adaln, wq, wout, kv, num_heads,
+                         eps, kv_len, interpret)
+
+
+def _cross_fwd(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps, kv_len,
+               interpret):
+    return (_cross_primal(x, res, ln_scale, adaln, wq, wout, kv, num_heads,
+                          eps, kv_len, interpret),
+            (x, res, ln_scale, adaln, wq, wout, kv))
+
+
+def _cross_bwd(num_heads, eps, kv_len, interpret, saved, g):
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ref_cross(*a, num_heads=num_heads, eps=eps,
+                                  kv_len=kv_len), *saved)
+    return vjp(g)
+
+
+_cross.defvjp(_cross_fwd, _cross_bwd)
+
+
+def attn_sublayer_self(x, res, ln_scale, adaln, wqkv, wout, num_heads: int,
+                       eps: float = 1e-6):
+    """Fused [rmsnorm -> AdaLN -> qkv matmul -> attention -> out proj] for
+    the self-attention sublayer.  x, res: (B, S, D); ln_scale: (D,);
+    adaln: (B, 2D) mapped scale|shift; wqkv: (D, 3D); wout: (D, D).
+    Returns (attention_output, prenorm_residual) like the unfused chain
+    (ops/layers.py RMSNorm + AdaLNModulation + Attention).  ``res`` may be
+    None (first trunk layer)."""
+    if res is None:
+        res = jnp.zeros_like(x)
+    return _self(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps,
+                 _interpret())
+
+
+def attn_sublayer_cross(x, res, ln_scale, adaln, wq, wout, kv, num_heads: int,
+                        eps: float = 1e-6):
+    """Cross-attention variant: ``kv`` is the precomputed (B, L, 2D)
+    [k|v] projection of the text context (Attention precompute_kv); L pads
+    internally to a 128 multiple with masked softmax columns."""
+    if res is None:
+        res = jnp.zeros_like(x)
+    kv_len = kv.shape[1]
+    pad = (-kv_len) % 128
+    if pad:
+        kv = jnp.pad(kv, ((0, 0), (0, pad), (0, 0)))
+    return _cross(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps,
+                  kv_len, _interpret())
