@@ -13,7 +13,7 @@
 #   BATCH  per-step batch (default 8; bs64 is the production config but the
 #          demo only needs to prove the program + trend on one chip)
 
-set -uo pipefail
+set -euo pipefail
 cd "$(dirname "$0")/.."
 
 STEPS="${1:-40}"
