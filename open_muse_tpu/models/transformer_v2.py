@@ -90,8 +90,10 @@ def _norm(cfg, dim, name, dtype):
 def _use_fused_attn_sublayer(cfg, x) -> bool:
     """Route both trunk attention sublayers through the fused Pallas kernel
     (ops/pallas/attn_sublayer, round-4 mega-kernel): research-config shapes
-    (rmsnorm+affine, no bias, head_dim 64) on single-device TPU, or under
-    MUSE_TPU_PALLAS_INTERPRET on CPU.  The unfused path stays the oracle."""
+    (rmsnorm+affine, no bias, head_dim 64) on single-device TPU or inside a
+    dp-only kernel_mesh (batch shards via shard_map, weights replicated);
+    MUSE_TPU_PALLAS_ATTN_SUBLAYER=1 forces it elsewhere.  The unfused path
+    stays the oracle."""
     if (cfg.norm_type != "rmsnorm" or cfg.use_bias
             or not cfg.ln_elementwise_affine):
         return False
@@ -355,9 +357,11 @@ class _GLUDownProj(nn.Module):
     activation attached.  Param layout matches ``nn.Dense`` exactly (the
     module is named "wo", so checkpoints see ``...ffn.wo.kernel`` as before).
 
-    Default ON on single-device TPU at 128-aligned shapes (multi-device
-    stays on XLA: pallas_call is opaque to the SPMD partitioner;
-    MUSE_TPU_PALLAS_GLU=0/1 overrides — see use_pallas_glu): the op runs as
+    Default ON on single-device TPU at 128-aligned shapes, and on dp-only
+    kernel meshes where the rows shard via shard_map with the weight
+    replicated (fsdp/tp meshes stay on XLA: pallas_call is opaque to the
+    SPMD partitioner; MUSE_TPU_PALLAS_GLU=0/1 overrides — see
+    use_pallas_glu): the op runs as
     the fused Pallas kernel, with a custom_vjp whose backward is the plain
     XLA expression — measured 617 vs 674-703 us/FFN against XLA's producer
     fusion at the research 512px/bs8 trunk shape (ops/pallas/glu_matmul.py).  The erf-GELU VPU work is why XLA's

@@ -13,10 +13,13 @@
   dryrun exercise the real kernel code paths (sharded included) on the
   virtual CPU mesh.
 
-Per-kernel env switches (MUSE_TPU_PALLAS_SAMPLE / _SAMPLE_CFG / _VQ / _GLU)
-still override individually; the GLU matmul kernel stays single-device-only
-(its operands are tp-sharded weight matrices, not row-parallel activations —
-ops/pallas/glu_matmul.py).
+Per-kernel env switches (MUSE_TPU_PALLAS_SAMPLE / _SAMPLE_CFG / _VQ / _GLU /
+_ATTN_SUBLAYER) still override individually.  The WEIGHT-consuming kernels
+(GLU matmul, fused attention sublayer) have a stricter mesh condition than
+the row-parallel ones: multi-device only inside a kernel_mesh whose weight
+axes are trivial (``parallel.kernel_mesh.replicated_weight_mesh`` — dp-only
+serving with replicated params); on fsdp/tp meshes they stay on the XLA
+path, where GSPMD manages the weight collectives.
 """
 
 from __future__ import annotations

@@ -60,21 +60,33 @@ _DEFAULT_ON = True
 
 def use_pallas_attn_sublayer() -> bool:
     """Default ON for single-device TPU (measured win at the research trunk,
-    STATUS.md round 4), OFF otherwise; MUSE_TPU_PALLAS_ATTN_SUBLAYER=0/1
-    overrides.  Multi-device stays OFF: pallas_call is opaque to the SPMD
-    partitioner and the operands include tp-shardable weight matrices (same
-    policy as the GLU kernel, ops/pallas/glu_matmul.py)."""
+    STATUS.md round 4); on a multi-device TPU ON only inside a
+    ``parallel.kernel_mesh`` whose weights are replicated (dp-only serving —
+    ``replicated_weight_mesh``): the sublayer is batch-row-parallel, so under
+    ``shard_map`` each device runs the kernel on its local batch rows and the
+    sharded program keeps the single-chip win.  On fsdp/tp meshes the
+    operands include sharded weight matrices and the kernel stays OFF (XLA
+    path; GSPMD manages the weight collectives).
+    MUSE_TPU_PALLAS_ATTN_SUBLAYER=0/1 overrides either way."""
     env = os.environ.get("MUSE_TPU_PALLAS_ATTN_SUBLAYER")
     if env is not None:
         return env == "1"
     if not _DEFAULT_ON:
         return False
     try:
-        # NOT keyed on MUSE_TPU_PALLAS_INTERPRET like the row-parallel
-        # kernels: this kernel is not mesh-composable, and the multichip
-        # dryrun flips interpret mode on globally while running pjit over
-        # the virtual mesh — only the explicit env above enables it off-TPU.
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        if jax.default_backend() == "tpu":
+            if jax.device_count() == 1:
+                return True
+            from ...parallel.kernel_mesh import replicated_weight_mesh
+
+            return replicated_weight_mesh() is not None
+        # Off-TPU the default stays OFF even under MUSE_TPU_PALLAS_INTERPRET:
+        # the multichip dryrun flips interpret mode on globally while running
+        # pjit over the virtual mesh, and the dryrun model's head_dim is not
+        # 64 anyway — the dryrun exercises the sharded kernel entry points
+        # directly instead (kernel-level parity checks).  Only the explicit
+        # env above enables the fused model path off-TPU.
+        return False
     except Exception:
         return False
 
@@ -355,23 +367,72 @@ def attn_sublayer_self(x, res, ln_scale, adaln, wqkv, wout, num_heads: int,
     adaln: (B, 2D) mapped scale|shift; wqkv: (D, 3D); wout: (D, D).
     Returns (attention_output, prenorm_residual) like the unfused chain
     (ops/layers.py RMSNorm + AdaLNModulation + Attention).  ``res`` may be
-    None (first trunk layer)."""
+    None (first trunk layer).
+
+    Inside a dp-only ``parallel.kernel_mesh`` (replicated_weight_mesh) the
+    batch shards over the mesh batch axes via ``shard_map``: each device
+    runs the kernel on its local rows, weights stay replicated, and no
+    collective is emitted around the opaque ``pallas_call``."""
     if res is None:
         res = jnp.zeros_like(x)
+    interpret = _interpret()
+    from ...parallel.kernel_mesh import mesh_shard_count, replicated_weight_mesh
+
+    km = replicated_weight_mesh()
+    if km is not None:
+        mesh, axes = km
+        nsh = mesh_shard_count(mesh, axes)
+        if x.shape[0] % nsh == 0:
+            from jax.sharding import PartitionSpec as P
+
+            body = lambda *a: _self(*a, num_heads, eps, interpret)
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(axes, None, None), P(axes, None, None), P(),
+                          P(axes, None), P(), P()),
+                out_specs=(P(axes, None, None), P(axes, None, None)),
+                check_vma=False)(x, res, ln_scale, adaln, wqkv, wout)
+        # batch not divisible by the shard count: the plain pallas_call would
+        # make GSPMD all-gather — use the XLA expression instead
+        return _xla_ref_self(x, res, ln_scale, adaln, wqkv, wout, num_heads,
+                             eps)
     return _self(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps,
-                 _interpret())
+                 interpret)
 
 
 def attn_sublayer_cross(x, res, ln_scale, adaln, wq, wout, kv, num_heads: int,
                         eps: float = 1e-6):
     """Cross-attention variant: ``kv`` is the precomputed (B, L, 2D)
     [k|v] projection of the text context (Attention precompute_kv); L pads
-    internally to a 128 multiple with masked softmax columns."""
+    internally to a 128 multiple with masked softmax columns.
+
+    Mesh behavior matches attn_sublayer_self: inside a dp-only
+    ``parallel.kernel_mesh`` the batch (x, res, adaln, kv) shards over the
+    mesh batch axes via ``shard_map`` with replicated weights."""
     if res is None:
         res = jnp.zeros_like(x)
     kv_len = kv.shape[1]
     pad = (-kv_len) % 128
     if pad:
         kv = jnp.pad(kv, ((0, 0), (0, pad), (0, 0)))
+    interpret = _interpret()
+    from ...parallel.kernel_mesh import mesh_shard_count, replicated_weight_mesh
+
+    km = replicated_weight_mesh()
+    if km is not None:
+        mesh, axes = km
+        nsh = mesh_shard_count(mesh, axes)
+        if x.shape[0] % nsh == 0 and kv.shape[0] == x.shape[0]:
+            from jax.sharding import PartitionSpec as P
+
+            body = lambda *a: _cross(*a, num_heads, eps, kv_len, interpret)
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(axes, None, None), P(axes, None, None), P(),
+                          P(axes, None), P(), P(), P(axes, None, None)),
+                out_specs=(P(axes, None, None), P(axes, None, None)),
+                check_vma=False)(x, res, ln_scale, adaln, wq, wout, kv)
+        return _xla_ref_cross(x, res, ln_scale, adaln, wq, wout, kv,
+                              num_heads, eps, kv_len)
     return _cross(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps,
-                  kv_len, _interpret())
+                  kv_len, interpret)

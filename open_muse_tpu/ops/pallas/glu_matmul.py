@@ -42,14 +42,15 @@ BLOCK_K = 128
 
 
 def use_pallas_glu() -> bool:
-    """Default ON for single-device TPU, OFF otherwise; MUSE_TPU_PALLAS_GLU
-    =0/1 overrides either way.
-
-    The multi-device default is OFF because ``pallas_call`` is opaque to the
-    SPMD partitioner: under a tp-sharded mesh XLA would all-gather the
-    operands and run the kernel replicated — a silent perf regression.  The
-    single-chip inference/benchmark path (where the 512px/bs8 profile was
-    taken) is where the kernel measurably wins.
+    """Default ON for single-device TPU; on a multi-device TPU ON only
+    inside a dp-only ``parallel.kernel_mesh`` (replicated_weight_mesh) —
+    the GLU rows are row-parallel, so under ``shard_map`` each device runs
+    the kernel on its local rows with the replicated ``wo`` and the sharded
+    program keeps the kernel win.  On fsdp/tp meshes the weights are
+    sharded and the kernel stays OFF (pallas_call is opaque to the SPMD
+    partitioner: XLA would all-gather the operands and run the kernel
+    replicated — a silent perf regression).  MUSE_TPU_PALLAS_GLU=0/1
+    overrides either way.
     """
     env = os.environ.get("MUSE_TPU_PALLAS_GLU")
     if env is not None:
@@ -57,8 +58,13 @@ def use_pallas_glu() -> bool:
     try:
         # TPU only: the kernel lowers through Mosaic (pltpu memory spaces);
         # a GPU backend would crash in pallas_call rather than fall back
-        return (jax.default_backend() == "tpu"
-                and jax.device_count() == 1)
+        if jax.default_backend() != "tpu":
+            return False
+        if jax.device_count() == 1:
+            return True
+        from ...parallel.kernel_mesh import replicated_weight_mesh
+
+        return replicated_weight_mesh() is not None
     except Exception:
         return False
 
@@ -157,6 +163,10 @@ _glu_down.defvjp(_glu_down_fwd, _glu_down_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_k", "interpret"))
+def _glu_down_jit(a, b, wo, block_m, block_k, interpret):
+    return _glu_down(a, b, wo, block_m, block_k, interpret)
+
+
 def glu_down_matmul(a, b, wo, block_m: int = BLOCK_M, block_k: int = BLOCK_K,
                     interpret: bool = False):
     """``(gelu(a) * b) @ wo`` for a, b (M, K) and wo (K, N) -> (M, N).
@@ -165,6 +175,13 @@ def glu_down_matmul(a, b, wo, block_m: int = BLOCK_M, block_k: int = BLOCK_K,
     K % block_k == 0 and N a lane multiple (128) — callers should fall back
     to the plain XLA expression otherwise (see GLUFeedForward).
     Differentiable: the backward pass is the plain XLA expression's VJP.
+
+    Inside a dp-only ``parallel.kernel_mesh`` (replicated_weight_mesh) the
+    rows shard over the mesh batch axes via ``shard_map`` with ``wo``
+    replicated, so sharded serving keeps the kernel win.  The mesh dispatch
+    lives OUTSIDE the jitted single-shard impl: a jit cache keyed only on
+    shapes would otherwise replay a no-mesh trace inside a mesh context (or
+    vice versa).
     """
     m, kdim = a.shape
     n = wo.shape[1]
@@ -174,4 +191,29 @@ def glu_down_matmul(a, b, wo, block_m: int = BLOCK_M, block_k: int = BLOCK_K,
     block_k = min(block_k, kdim)
     if kdim % block_k or n % 128:
         raise ValueError(f"K={kdim} %% block_k={block_k} or N={n} %% 128 != 0")
-    return _glu_down(a, b, wo, block_m, block_k, interpret)
+
+    from ...parallel.kernel_mesh import mesh_shard_count, replicated_weight_mesh
+
+    km = replicated_weight_mesh()
+    if km is not None:
+        mesh, axes = km
+        nsh = mesh_shard_count(mesh, axes)
+        if m % nsh == 0:
+            from jax.sharding import PartitionSpec as P
+
+            block_m_loc = min(block_m, max(8, m // nsh))
+            body = lambda a_s, b_s, wo_s: _glu_down_jit(
+                a_s, b_s, wo_s, block_m_loc, block_k, interpret)
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(axes, None), P(axes, None), P()),
+                out_specs=P(axes, None), check_vma=False)(a, b, wo)
+        # rows not divisible by the shard count: the plain pallas_call would
+        # make GSPMD all-gather — plain XLA expression instead (same
+        # precision staging as the kernel: f32 GLU, wo-dtype matmul operand,
+        # f32 accumulate, output in a's dtype)
+        hidden = (jax.nn.gelu(a.astype(jnp.float32), approximate=False)
+                  * b.astype(jnp.float32)).astype(wo.dtype)
+        return jnp.dot(hidden, wo,
+                       preferred_element_type=jnp.float32).astype(a.dtype)
+    return _glu_down_jit(a, b, wo, block_m, block_k, interpret)

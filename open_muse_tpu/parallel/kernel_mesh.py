@@ -39,7 +39,7 @@ from typing import Optional, Sequence, Tuple
 from jax.sharding import Mesh
 
 __all__ = ["kernel_mesh", "current_kernel_mesh", "mesh_shard_count",
-           "pad_rows_to", "shard_index"]
+           "pad_rows_to", "shard_index", "replicated_weight_mesh"]
 
 _CTX: contextvars.ContextVar = contextvars.ContextVar(
     "muse_tpu_kernel_mesh", default=None)
@@ -73,6 +73,35 @@ def mesh_shard_count(mesh: Mesh, axes: Sequence[str]) -> int:
 def pad_rows_to(n: int, multiple: int) -> int:
     """Rows of padding needed so ``n`` divides into ``multiple``."""
     return (-n) % multiple
+
+
+def replicated_weight_mesh() -> Optional[Tuple[Mesh, Tuple[str, ...]]]:
+    """(mesh, batch_axes) from the active ``kernel_mesh`` — but only when the
+    WEIGHT-consuming kernels (GLU down-matmul, fused attention sublayer) can
+    treat their weight matrices as replicated.
+
+    The row-parallel kernels (VQ argmin, sampling) shard rows and carry no
+    weights, so any batch sharding works.  The weight kernels additionally
+    hold a full (D, 3D)-sized matrix per shard, which is only free of
+    boundary collectives when no mesh axis shards the weights: every axis
+    the partition rules use for parameters (``fsdp``/``tp`` —
+    parallel/sharding.DEFAULT_RULES) must be trivial, and the kernel batch
+    axes must cover all remaining parallelism.  In practice that is dp-only
+    serving (replicated params, batch over ``dp``) — the standard
+    low-latency multi-chip replica layout.  On fsdp/tp meshes these kernels
+    stay on the XLA path, where GSPMD manages the weight collectives.
+    """
+    km = current_kernel_mesh()
+    if km is None:
+        return None
+    mesh, axes = km
+    if mesh_shard_count(mesh, axes) <= 1:
+        return None
+    if any(mesh.shape.get(a, 1) > 1 for a in ("fsdp", "tp")):
+        return None
+    if mesh_shard_count(mesh, axes) != mesh.size:
+        return None
+    return mesh, axes
 
 
 def shard_index(mesh: Mesh, axes: Sequence[str]):

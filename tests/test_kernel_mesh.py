@@ -158,3 +158,152 @@ def test_train_step_hlo_has_promised_collectives():
     assert n_ag + n_rs > 0, \
         f"no fsdp param gather/scatter in train-step HLO " \
         f"(ag={n_ag}, rs={n_rs})"
+
+
+# ---- weight-consuming kernels on dp-only meshes (round-4 follow-up to
+# verdict item 5: the GLU and attention-sublayer kernels were single-device
+# only; on a replicated-weight mesh they now shard their batch rows) -------
+
+
+@needs8
+def test_replicated_weight_mesh_policy():
+    """Weight kernels engage only when no mesh axis shards the weights:
+    dp-only meshes qualify, any fsdp/tp parallelism does not."""
+    from open_muse_tpu.parallel.kernel_mesh import replicated_weight_mesh
+
+    assert replicated_weight_mesh() is None  # no context
+    with kernel_mesh(create_mesh(dp=8, fsdp=1, tp=1), axes=("dp",)):
+        m, axes = replicated_weight_mesh()
+        assert axes == ("dp",) and m.shape["dp"] == 8
+    with kernel_mesh(create_mesh(dp=2, fsdp=2, tp=2)):
+        assert replicated_weight_mesh() is None  # fsdp/tp shard the weights
+    with kernel_mesh(create_mesh(dp=4, fsdp=2, tp=1)):
+        assert replicated_weight_mesh() is None
+    one = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    with kernel_mesh(one, axes=("dp",)):
+        assert replicated_weight_mesh() is None  # single shard: plain path
+
+
+@needs8
+def test_glu_sharded_matches_unsharded():
+    """Row-sharded GLU down-matmul must equal the single-shard kernel
+    exactly: rows are independent and the K-block accumulation order per row
+    is identical."""
+    from open_muse_tpu.ops.pallas.glu_matmul import glu_down_matmul
+
+    mesh = create_mesh(dp=8, fsdp=1, tp=1)
+    rs = np.random.RandomState(5)
+    a = jnp.asarray(rs.randn(1024, 256).astype(np.float32))
+    b = jnp.asarray(rs.randn(1024, 256).astype(np.float32))
+    wo = jnp.asarray(rs.randn(256, 128).astype(np.float32) * 0.05)
+    ref = glu_down_matmul(a, b, wo, interpret=True)
+    with kernel_mesh(mesh, axes=("dp",)):
+        got = glu_down_matmul(a, b, wo, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@needs8
+def test_glu_sharded_emits_no_allgather():
+    from open_muse_tpu.ops.pallas.glu_matmul import glu_down_matmul
+
+    mesh = create_mesh(dp=8, fsdp=1, tp=1)
+    rs = np.random.RandomState(6)
+    a = jax.device_put(jnp.asarray(rs.randn(1024, 256).astype(np.float32)),
+                       NamedSharding(mesh, P("dp", None)))
+    b = jax.device_put(jnp.asarray(rs.randn(1024, 256).astype(np.float32)),
+                       NamedSharding(mesh, P("dp", None)))
+    wo = jax.device_put(jnp.asarray(rs.randn(256, 128).astype(np.float32)),
+                        NamedSharding(mesh, P(None, None)))
+
+    def f(a, b, wo):
+        with kernel_mesh(mesh, axes=("dp",)):
+            return glu_down_matmul(a, b, wo, interpret=True)
+
+    txt = jax.jit(f).lower(a, b, wo).compile().as_text()
+    assert "all-gather" not in txt
+    assert "all-reduce" not in txt
+
+
+def _attn_inputs(batch, seq=64, hidden=128, kv_len=16, seed=7):
+    rs = np.random.RandomState(seed)
+    mk = lambda *s: jnp.asarray(rs.randn(*s).astype(np.float32) * 0.1)
+    return dict(x=mk(batch, seq, hidden), res=mk(batch, seq, hidden),
+                ln=jnp.ones((hidden,), jnp.float32),
+                adaln=mk(batch, 2 * hidden), wqkv=mk(hidden, 3 * hidden),
+                wq=mk(hidden, hidden), wout=mk(hidden, hidden),
+                kv=mk(batch, kv_len, 2 * hidden))
+
+
+@needs8
+def test_attn_sublayer_sharded_matches_unsharded():
+    """Batch-sharded fused attention sublayer (self + cross) must equal the
+    single-shard kernel exactly: the grid is one cell per batch element, so
+    shard boundaries cannot change any cell's math."""
+    from open_muse_tpu.ops.pallas.attn_sublayer import (attn_sublayer_cross,
+                                                        attn_sublayer_self)
+
+    mesh = create_mesh(dp=8, fsdp=1, tp=1)
+    p = _attn_inputs(batch=16)
+    ref_o, ref_r = attn_sublayer_self(p["x"], p["res"], p["ln"], p["adaln"],
+                                      p["wqkv"], p["wout"], num_heads=2)
+    with kernel_mesh(mesh, axes=("dp",)):
+        got_o, got_r = attn_sublayer_self(p["x"], p["res"], p["ln"],
+                                          p["adaln"], p["wqkv"], p["wout"],
+                                          num_heads=2)
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(ref_r))
+
+    ref_o, ref_r = attn_sublayer_cross(p["x"], p["res"], p["ln"], p["adaln"],
+                                       p["wq"], p["wout"], p["kv"],
+                                       num_heads=2)
+    with kernel_mesh(mesh, axes=("dp",)):
+        got_o, got_r = attn_sublayer_cross(p["x"], p["res"], p["ln"],
+                                           p["adaln"], p["wq"], p["wout"],
+                                           p["kv"], num_heads=2)
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(ref_r))
+
+
+@needs8
+def test_attn_sublayer_sharded_emits_no_allgather():
+    from open_muse_tpu.ops.pallas.attn_sublayer import attn_sublayer_self
+
+    mesh = create_mesh(dp=8, fsdp=1, tp=1)
+    p = _attn_inputs(batch=16)
+    bsh = NamedSharding(mesh, P("dp", None, None))
+    rep = NamedSharding(mesh, P())
+    x = jax.device_put(p["x"], bsh)
+    res = jax.device_put(p["res"], bsh)
+    adaln = jax.device_put(p["adaln"], NamedSharding(mesh, P("dp", None)))
+    ln, wqkv, wout = (jax.device_put(p[k], rep)
+                      for k in ("ln", "wqkv", "wout"))
+
+    def f(x, res, ln, adaln, wqkv, wout):
+        with kernel_mesh(mesh, axes=("dp",)):
+            return attn_sublayer_self(x, res, ln, adaln, wqkv, wout,
+                                      num_heads=2)
+
+    txt = jax.jit(f).lower(x, res, ln, adaln, wqkv, wout).compile().as_text()
+    assert "all-gather" not in txt
+    assert "all-reduce" not in txt
+
+
+@needs8
+def test_attn_sublayer_indivisible_batch_falls_back_correct():
+    """batch % shard_count != 0: the mesh path must produce the same values
+    through the XLA fallback instead of letting GSPMD all-gather around an
+    unsharded pallas_call."""
+    from open_muse_tpu.ops.pallas.attn_sublayer import (_xla_ref_self,
+                                                        attn_sublayer_self)
+
+    mesh = create_mesh(dp=8, fsdp=1, tp=1)
+    p = _attn_inputs(batch=6)
+    with kernel_mesh(mesh, axes=("dp",)):
+        got_o, got_r = attn_sublayer_self(p["x"], p["res"], p["ln"],
+                                          p["adaln"], p["wqkv"], p["wout"],
+                                          num_heads=2)
+    ref_o, ref_r = _xla_ref_self(p["x"], p["res"], p["ln"], p["adaln"],
+                                 p["wqkv"], p["wout"], 2, 1e-6)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(ref_r))
