@@ -34,7 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HIDDEN = 1024
 HEADS = 16
-KV_LEN = 128  # text context 77 padded to the 128 lane boundary
+# The REAL serving context length: 77 CLIP tokens.  attn_sublayer_cross pads
+# to the 128 lane boundary internally and masks the softmax columns — feeding
+# an already-aligned kv would skip the where-iota mask branch entirely and
+# under-report the production cost (advisor round-4).
+KV_LEN = 77
 
 CASES = [
     # (label, cfg_batch, seq)

@@ -43,14 +43,39 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["attn_sublayer_self", "attn_sublayer_cross",
            "use_pallas_attn_sublayer", "sublayer_shapes_supported"]
 
-# trunk shape budget: S<=512 keeps the (S,3D) qkv block + per-pair logits
-# comfortably inside VMEM next to the resident weights (<= ~12 MB total)
-MAX_SEQ = 512
-MAX_HIDDEN = 2048
-# the research self sublayer sits at ~17 MB scoped VMEM (resident Wqkv 6 MB +
-# double-buffered activations + qkv scratch); the compiler's default scoped
-# limit is 16 MB, well under the v5e's physical VMEM — raise it explicitly
+# the research self sublayer sits at ~20 MB scoped VMEM (resident Wqkv 6 MB +
+# double-buffered activations + qkv/logits scratch); the compiler's default
+# scoped limit is 16 MB, well under the v5e's physical VMEM — raise it
 VMEM_LIMIT = 32 * 1024 * 1024
+# Mosaic needs headroom beyond the refs/scratch we can count (semaphores,
+# retiling buffers); gate admission at 90% of the scoped limit
+_VMEM_HEADROOM = 0.9
+
+
+def _self_vmem_bytes(seq: int, hidden: int, num_heads: int,
+                     itemsize: int = 2) -> int:
+    """Exact scoped-VMEM demand of the self kernel at these shapes: grid-
+    blocked refs are double-buffered by Mosaic's pipeline (x, res, adaln, out,
+    resout), full-array weight refs and scratch are resident once."""
+    blocked = 4 * seq * hidden * itemsize          # x, res, out, resout
+    blocked += 2 * hidden * itemsize               # adaln row (1, 2D)
+    weights = (3 * hidden + hidden) * hidden * itemsize   # wqkv + wout
+    weights += hidden * itemsize                   # ln scale
+    scratch = seq * 3 * hidden * itemsize          # qkv
+    scratch += seq * hidden * itemsize             # attn out
+    scratch += num_heads * seq * seq * (4 + itemsize)     # logits fp32 + probs
+    return 2 * blocked + weights + scratch
+
+
+def _cross_vmem_bytes(seq: int, hidden: int, num_heads: int, kv_pad: int,
+                      itemsize: int = 2) -> int:
+    blocked = 4 * seq * hidden * itemsize          # x, res, out, resout
+    blocked += 2 * hidden * itemsize               # adaln row
+    blocked += kv_pad * 2 * hidden * itemsize      # kv block (1, L, 2D)
+    weights = 2 * hidden * hidden * itemsize + hidden * itemsize  # wq, wout, ln
+    scratch = 2 * seq * hidden * itemsize          # q + attn out
+    scratch += num_heads * seq * kv_pad * (4 + itemsize)  # logits + probs
+    return 2 * blocked + weights + scratch
 
 # measured end-to-end at 512px/bs8/12-step: 332.8 ms vs 375.2 ms with the
 # kernel off (round-4, muse_perf one-case; chain harness: self sublayer 625
@@ -91,14 +116,26 @@ def use_pallas_attn_sublayer() -> bool:
         return False
 
 
-def sublayer_shapes_supported(seq: int, hidden: int, num_heads: int) -> bool:
+def sublayer_shapes_supported(seq: int, hidden: int, num_heads: int,
+                              kv_len: int | None = None) -> bool:
     """Kernel constraints: 128-aligned hidden, head_dim 64 in even-head pairs
-    (every slice then lands on a 128-lane boundary), trunk-sized sequences."""
+    (every slice then lands on a 128-lane boundary), and the ACTUAL scoped-
+    VMEM demand of both kernels at these shapes must fit under VMEM_LIMIT
+    with headroom (advisor round-4: the old MAX_SEQ/MAX_HIDDEN box admitted
+    seq-512/hidden-1024 self shapes whose logits+probs scratch alone
+    overflows Mosaic's scoped allocation).  ``kv_len`` sizes the cross
+    kernel's padded context; when None the CLIP-length default (77 -> 128)
+    is assumed."""
     if hidden % 128 or num_heads <= 0 or hidden // num_heads != 64:
         return False
     if num_heads % 2:
         return False
-    return 8 <= seq <= MAX_SEQ and seq % 8 == 0 and hidden <= MAX_HIDDEN
+    if not (8 <= seq and seq % 8 == 0):
+        return False
+    kv_pad = ((kv_len or 77) + 127) // 128 * 128
+    budget = _VMEM_HEADROOM * VMEM_LIMIT
+    return (_self_vmem_bytes(seq, hidden, num_heads) <= budget
+            and _cross_vmem_bytes(seq, hidden, num_heads, kv_pad) <= budget)
 
 
 def _interpret() -> bool:

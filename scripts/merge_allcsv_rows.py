@@ -56,10 +56,22 @@ def merge(allcsv_path: str, new_paths: list[str]) -> tuple[int, int]:
                           if "published" in r.get("device", "")), len(rows))
         rows[first_pub:first_pub] = list(new_rows.values())
 
-    with open(allcsv_path, "w", newline="") as f:
+    # Schema drift in the new rows (a future muse_perf column) must fail
+    # BEFORE the tracked artifact is opened for writing; and the write itself
+    # goes through a temp file + atomic rename so a mid-write crash can never
+    # leave all.csv truncated (advisor round-4).
+    for row in rows:
+        extra = set(row) - set(fields)
+        if extra:
+            raise SystemExit(
+                f"new rows carry columns absent from {allcsv_path}: "
+                f"{sorted(extra)} — regenerate all.csv or extend its header")
+    tmp_path = allcsv_path + ".tmp"
+    with open(tmp_path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fields)
         writer.writeheader()
         writer.writerows(rows)
+    os.replace(tmp_path, allcsv_path)
     return replaced, appended
 
 
