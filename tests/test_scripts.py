@@ -444,3 +444,82 @@ def test_muse_perf_distilled_flops_halve():
          "batch_size": "1", "timesteps": "6", "median_ms": "30"},
     ]
     assert validate_rows(rows) == []
+
+
+def test_log_inpainting_images_script(tmp_path):
+    """Standalone inpainting logger (reference scripts/
+    log_inpainting_images.py:20-93): segmented.jpg + per-generation JPEGs +
+    one grid PNG from a rectangular latent-space mask."""
+    from PIL import Image
+
+    from open_muse_tpu.models.clip_text import CLIPTextEncoder
+    from open_muse_tpu.models.maskgit_vqgan import MaskGitVQGAN
+    from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+    from open_muse_tpu.pipelines.pipeline_muse import PipelineMuseInpainting
+    from scripts.log_inpainting_images import main
+    from tests.test_clip_and_pipeline import (CLIP_TINY, UVIT_TINY,
+                                              DummyTokenizer)
+
+    # f16 VQ at 64px -> 4x4 latent grid (16 trunk tokens)
+    vq = MaskGitVQGAN(resolution=64, hidden_channels=32,
+                      channel_mult=(1, 1, 2, 2, 4), num_res_blocks=1,
+                      z_channels=32, num_embeddings=64,
+                      quantized_embed_dim=32)
+    pipe = PipelineMuseInpainting(
+        vae=vq, transformer=MaskGiTUViT_v2(**UVIT_TINY),
+        text_encoder=CLIPTextEncoder(**CLIP_TINY), tokenizer=DummyTokenizer())
+
+    src = tmp_path / "input.png"
+    Image.fromarray((np.random.RandomState(0).rand(64, 64, 3) * 255)
+                    .astype(np.uint8)).save(src)
+    out_dir = tmp_path / "gen"
+    main(["--model", "unused", "--input-image", str(src),
+          "--text", "a red square", "--image-size", "64",
+          "--vae-scaling-factor", "16", "--mask-start-x", "1",
+          "--mask-end-x", "3", "--mask-start-y", "1", "--mask-end-y", "3",
+          "--timesteps", "2", "--num-generations", "2",
+          "--output-dir", str(out_dir)], pipe=pipe)
+
+    assert (out_dir / "segmented.jpg").is_file()
+    assert (out_dir / "output_0.jpg").is_file()
+    assert (out_dir / "output_1.jpg").is_file()
+    assert (out_dir / "output_grid.png").is_file()
+    # the masked block really is zeroed in the segmented preview
+    seg = np.asarray(Image.open(out_dir / "segmented.jpg"))
+    assert seg[16:48, 16:48].mean() < 16  # jpeg noise only
+
+
+def test_log_inpainting_images_validation_dir(tmp_path):
+    """--validation-dir drives the shipped inpainting_validation/ layout."""
+    from PIL import Image
+
+    from open_muse_tpu.models.clip_text import CLIPTextEncoder
+    from open_muse_tpu.models.maskgit_vqgan import MaskGitVQGAN
+    from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
+    from open_muse_tpu.pipelines.pipeline_muse import PipelineMuseInpainting
+    from scripts.log_inpainting_images import main
+    from tests.test_clip_and_pipeline import (CLIP_TINY, UVIT_TINY,
+                                              DummyTokenizer)
+
+    vq = MaskGitVQGAN(resolution=64, hidden_channels=32,
+                      channel_mult=(1, 1, 2, 2, 4), num_res_blocks=1,
+                      z_channels=32, num_embeddings=64,
+                      quantized_embed_dim=32)
+    pipe = PipelineMuseInpainting(
+        vae=vq, transformer=MaskGiTUViT_v2(**UVIT_TINY),
+        text_encoder=CLIPTextEncoder(**CLIP_TINY), tokenizer=DummyTokenizer())
+
+    val = tmp_path / "val" / "a_blue_dog"
+    val.mkdir(parents=True)
+    rs = np.random.RandomState(1)
+    Image.fromarray((rs.rand(64, 64, 3) * 255).astype(np.uint8)) \
+        .save(val / "image.png")
+    m = np.zeros((64, 64), np.uint8)
+    m[:32] = 255
+    Image.fromarray(m).save(val / "mask.png")
+
+    out_dir = tmp_path / "gen"
+    main(["--model", "unused", "--validation-dir", str(tmp_path / "val"),
+          "--image-size", "64", "--timesteps", "2", "--num-generations", "2",
+          "--output-dir", str(out_dir)], pipe=pipe)
+    assert (out_dir / "inpaint-a_blue_dog_grid.png").is_file()
