@@ -53,12 +53,19 @@ PUBLISHED_ROWS = [
     ("muse", 256, 1, 12, "A100 (published)", 474.0, 1.97),
     ("muse", 256, 1, 20, "A100 (published)", 762.0, 1.97),
     ("muse", 256, 8, 12, "A100 (published)", 601.8, 3.02),
+    ("muse", 256, 8, 20, "A100 (published)", 923.7, 3.02),
     ("muse", 512, 1, 12, "A100 (published)", 538.5, 2.43),
+    ("muse", 512, 1, 20, "A100 (published)", 827.4, 2.43),
     ("muse", 512, 8, 12, "A100 (published)", 1004.5, 6.66),
+    ("muse", 512, 8, 20, "A100 (published)", 1392.4, 6.66),
     ("muse", 256, 1, 12, "RTX 4090 (published)", 199.0, ""),
+    ("muse", 256, 1, 20, "RTX 4090 (published)", 327.8, ""),
     ("muse", 256, 8, 12, "RTX 4090 (published)", 454.1, ""),
+    ("muse", 256, 8, 20, "RTX 4090 (published)", 695.4, ""),
     ("muse", 512, 1, 12, "RTX 4090 (published)", 235.8, ""),
+    ("muse", 512, 1, 20, "RTX 4090 (published)", 371.8, ""),
     ("muse", 512, 8, 12, "RTX 4090 (published)", 763.3, ""),
+    ("muse", 512, 8, 20, "RTX 4090 (published)", 1032.8, ""),
     ("stable_diffusion_1_5", 512, 1, 12, "A100 (published)", 479.1, ""),
     ("sdxl", 1024, 1, 12, "A100 (published)", 1732.2, ""),
     ("ssd_1b", 1024, 1, 12, "A100 (published)", 1210.9, ""),
