@@ -58,6 +58,15 @@ def test_config_schema_and_model_kwargs(path):
     # (v1 configs declare architecture: transformer or the v1-only
     # num_vq_tokens field — the imagenet CLI always builds v1)
     arch = cfg["model"].get("architecture", "uvit")
+    if "transformer" not in cfg["model"]:
+        # VQ-tokenizer trainer config (train_vqgan.py): no transformer
+        # block; the vq params must construct the named VQ model class
+        vq_cls = get_vq_model_class(
+            cfg["model"].get("vq_model_type", "maskgit_vqgan"))
+        vq_cls.config_class(**cfg["model"]["vq_model"]["params"])
+        get_scheduler(cfg["lr_scheduler"]["scheduler"], base_lr=1e-4,
+                      num_warmup_steps=10, num_training_steps=100)
+        return
     tkw = dict(cfg["model"]["transformer"])
     if arch == "transformer" or "num_vq_tokens" in tkw:
         mc = MaskGitTransformerConfig(**tkw)
