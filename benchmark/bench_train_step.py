@@ -49,7 +49,15 @@ TEXT_LEN = 77
 TEXT_DIM = 768
 
 
-def build_step_and_state(batch_size: int, remat: bool = False):
+def build_step_and_state(batch_size: int, remat: bool = False,
+                         accum: int = 1):
+    """``accum > 1`` wraps the optimizer in ``optax.MultiSteps``: the jitted
+    program is the MICRO-batch (batch_size // accum) fwd+bwd plus an
+    accumulator update, and every ``accum``-th call applies adamw.  This is
+    the round-5 workaround for the remote AOT compile helper crashing on the
+    monolithic bs64/bs128 programs (HTTP 500 since round 2): the compiled
+    module stays at a size the helper accepts while the measured effective
+    batch matches the monolithic case."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -59,9 +67,15 @@ def build_step_and_state(batch_size: int, remat: bool = False):
     from open_muse_tpu.training.trainer import (create_train_state,
                                                 make_uvit_train_step)
 
+    if batch_size % accum:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"accum {accum}")
+    batch_size //= accum
     model = MaskGiTUViT_v2(dtype=jnp.bfloat16, remat=remat)
     cfg = model.config
     tx = optax.adamw(1e-4, b1=0.9, b2=0.999, weight_decay=0.01)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     state = create_train_state(model.params, tx, with_ema=True)
     step_fn = make_uvit_train_step(
         model.module, tx, get_mask_schedule("cosine"), cfg.mask_token_id,
@@ -122,36 +136,41 @@ def flops_via_cpu_subprocess(batch_size: int, remat=None):
     return None, None
 
 
-def measure(batch_size: int, steps: int, remat: bool = False):
+def measure(batch_size: int, steps: int, remat: bool = False,
+            accum: int = 1):
     import jax
     import jax.numpy as jnp
 
-    step_fn, state, batch, n_params = build_step_and_state(batch_size, remat)
+    step_fn, state, batch, n_params = build_step_and_state(batch_size, remat,
+                                                           accum)
     key = jax.random.PRNGKey(0)
-    # warmup: compile + one settled step
-    state, m = step_fn(state, batch, jax.random.fold_in(key, 0))
+    # warmup: compile + one settled optimizer update (accum micro-calls)
+    for i in range(2 * accum):
+        state, m = step_fn(state, batch, jax.random.fold_in(key, i))
     float(m["loss"])
-    state, m = step_fn(state, batch, jax.random.fold_in(key, 1))
-    float(m["loss"])
-    # timing: the donated-state chain is naturally dependent
+    # timing: the donated-state chain is naturally dependent; one "step"
+    # = one optimizer update = ``accum`` micro-calls
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, m = step_fn(state, batch, jax.random.fold_in(key, 2 + i))
+    for i in range(steps * accum):
+        state, m = step_fn(state, batch, jax.random.fold_in(key, 99 + i))
     float(m["loss"])  # force
     dt = (time.perf_counter() - t0) / steps
     return dt, n_params
 
 
-SWEEP_CASES = [  # (batch_size, remat) — ordered cheap-to-expensive
-    (16, "off"), (16, "dots"), (16, "full"),
-    (32, "off"), (32, "dots"), (32, "full"),
-    (64, "off"), (64, "dots"), (64, "full"),
-    (128, "full"),
+SWEEP_CASES = [  # (batch_size, remat, accum) — ordered cheap-to-expensive
+    (16, "off", 1), (16, "dots", 1), (16, "full", 1),
+    (32, "off", 1), (32, "dots", 1), (32, "full", 1),
+    (64, "off", 1), (64, "dots", 1), (64, "full", 1),
+    (128, "full", 1),
+    # grad-accumulation workaround rows for the compile-helper-blocked
+    # monolithic programs (round-5 verdict item 2): micro-program = bs32/bs64
+    (64, "off", 2), (128, "off", 4), (128, "full", 2),
 ]
-SWEEP_FIELDS = ["batch_size", "remat", "device", "step_ms", "imgs_per_sec",
-                "tokens_per_sec", "params_m", "tflops_exec_est",
-                "tflops_model_est", "mfu_exec_pct", "mfu_model_pct",
-                "flops_source", "error"]
+SWEEP_FIELDS = ["batch_size", "remat", "accum", "device", "step_ms",
+                "imgs_per_sec", "tokens_per_sec", "params_m",
+                "tflops_exec_est", "tflops_model_est", "mfu_exec_pct",
+                "mfu_model_pct", "flops_source", "error"]
 
 
 def run_sweep(csv_path: str, steps: int, timeout_s: int) -> int:
@@ -161,29 +180,36 @@ def run_sweep(csv_path: str, steps: int, timeout_s: int) -> int:
     existing = {}
     if os.path.isfile(csv_path):
         with open(csv_path, newline="") as f:
-            existing = {(r["batch_size"], r["remat"]): r
+            existing = {(r["batch_size"], r["remat"],
+                         r.get("accum") or "1"): r
                         for r in csv.DictReader(f)}
 
     def append(row):
-        existing[(str(row["batch_size"]), row["remat"])] = row
+        existing[(str(row["batch_size"]), row["remat"],
+                  str(row.get("accum") or 1))] = row
         os.makedirs(os.path.dirname(csv_path), exist_ok=True)
         with open(csv_path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=SWEEP_FIELDS,
                                extrasaction="ignore")
             w.writeheader()
             for r in sorted(existing.values(),
-                            key=lambda r: (int(r["batch_size"]), r["remat"])):
+                            key=lambda r: (int(r["batch_size"]), r["remat"],
+                                           int(r.get("accum") or 1))):
                 w.writerow(r)
 
-    for bs, remat in SWEEP_CASES:
-        if (str(bs), remat) in existing:
-            print(f"# skip bs={bs} remat={remat} (already measured)")
+    for bs, remat, accum in SWEEP_CASES:
+        if (str(bs), remat, str(accum)) in existing:
+            print(f"# skip bs={bs} remat={remat} accum={accum} "
+                  "(already measured)")
             continue
         cmd = [sys.executable, os.path.abspath(__file__),
                "--batch-sizes", str(bs), "--steps", str(steps)]
         if remat != "off":
             cmd += ["--remat", remat]
-        print(f"# running bs={bs} remat={remat} ...", flush=True)
+        if accum > 1:
+            cmd += ["--accum", str(accum)]
+        print(f"# running bs={bs} remat={remat} accum={accum} ...",
+              flush=True)
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=timeout_s)
@@ -192,13 +218,14 @@ def run_sweep(csv_path: str, steps: int, timeout_s: int) -> int:
                 if line.startswith("{"):
                     row = json.loads(line)
             if row is None:
-                row = {"batch_size": bs, "remat": remat,
+                row = {"batch_size": bs, "remat": remat, "accum": accum,
                        "error": f"no output (rc={proc.returncode}): "
                                 f"{proc.stderr[-200:]}"}
         except subprocess.TimeoutExpired:
-            row = {"batch_size": bs, "remat": remat,
+            row = {"batch_size": bs, "remat": remat, "accum": accum,
                    "error": f"timeout after {timeout_s}s (compile wedged?)"}
         row.setdefault("remat", remat)
+        row.setdefault("accum", accum)
         row.setdefault("error", "")
         append(row)
         print(json.dumps(row), flush=True)
@@ -224,6 +251,13 @@ def main(argv=None):
                              "configs use one of these; remat also shrinks "
                              "the compile, which the remote AOT helper needs "
                              "at research scale)")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="gradient accumulation (optax.MultiSteps): the "
+                             "jitted program is the micro-batch "
+                             "(batch/accum) step; batch sizes whose "
+                             "monolithic program crashes the remote AOT "
+                             "compile helper measure through accum micro-"
+                             "calls per optimizer update")
     parser.add_argument("--flops", type=int, metavar="BS",
                         help="print train-step FLOPs as JSON (CPU backend)")
     args = parser.parse_args(argv)
@@ -252,16 +286,27 @@ def main(argv=None):
     device = jax.devices()[0].device_kind
     for bs in args.batch_sizes:
         try:
-            dt, n_params = measure(bs, args.steps, _remat_value(args.remat))
+            dt, n_params = measure(bs, args.steps, _remat_value(args.remat),
+                                   args.accum)
         except Exception as e:
             print(json.dumps({"metric": "train_step", "batch_size": bs,
+                              "accum": args.accum,
                               "error": str(e)[:300]}))
             continue
-        flops_exec, source = flops_via_cpu_subprocess(bs, args.remat)
-        flops_model = (flops_via_cpu_subprocess(bs, None)[0]
+        # FLOPs of the program(s) actually executed: accum micro-programs
+        # per optimizer update (the MultiSteps accumulator adds are not in
+        # the CPU-lowered micro module; they are O(params), negligible
+        # against the fwd+bwd)
+        micro = bs // args.accum
+        flops_exec, source = flops_via_cpu_subprocess(micro, args.remat)
+        flops_model = (flops_via_cpu_subprocess(micro, None)[0]
                        if args.remat else flops_exec)
+        if flops_exec:
+            flops_exec *= args.accum
+        if flops_model:
+            flops_model *= args.accum
         row = {"metric": "train_step", "batch_size": bs,
-               "remat": args.remat or "off",
+               "remat": args.remat or "off", "accum": args.accum,
                "device": device, "step_ms": round(dt * 1e3, 1),
                "imgs_per_sec": round(bs / dt, 1),
                "tokens_per_sec": round(bs * SEQ / dt),

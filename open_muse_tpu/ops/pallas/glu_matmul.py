@@ -32,13 +32,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["glu_down_matmul", "use_pallas_glu"]
+__all__ = ["glu_down_matmul", "use_pallas_glu", "use_pallas_glu_bwd"]
 
 # tuned on v5e at the research FFN (K=2816, N=1024, M=4096): 617 us/FFN vs
 # XLA's 674-703 across runs in the 22-layer chain harness; bm=512/bk=256 and
 # bm=2048/bk=128 measured worse (see STATUS.md round-3)
 BLOCK_M = 1024
 BLOCK_K = 128
+# backward blocks: the bwd kernel runs TWO (bm, bk, N) matmuls per cell
+# (dh and the dwo accumulation), so K blocks are wider to amortize the
+# per-cell g/wo traffic
+BWD_BLOCK_M = 512
+BWD_BLOCK_K = 256
 
 
 def use_pallas_glu() -> bool:
@@ -141,10 +146,110 @@ def _glu_down_fwd(a, b, wo, block_m, block_k, interpret):
     return _primal(a, b, wo, block_m, block_k, interpret), (a, b, wo)
 
 
+def _gelu_pair(af):
+    """(gelu(a), gelu'(a)) in f32 via the A&S-7.1.26 erf (Mosaic has no erf
+    lowering); gelu'(x) = Phi(x) + x * phi(x)."""
+    cdf = 0.5 * (1.0 + _erf(af * 0.7071067811865476))
+    pdf = jnp.exp(-0.5 * af * af) * 0.3989422804014327
+    return af * cdf, cdf + af * pdf
+
+
+def _bwd_kernel(a_ref, b_ref, g_ref, wo_ref, da_ref, db_ref, dwo_ref, acc,
+                *, io_dtype, wo_dtype):
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+
+    @pl.when(m == 0)
+    def _():
+        acc[:, :] = jnp.zeros_like(acc[:, :])
+
+    af = a_ref[:].astype(jnp.float32)
+    bf = b_ref[:].astype(jnp.float32)
+    gelu_a, dgelu = _gelu_pair(af)
+    # dh = g @ wo^T, kept in VMEM (XLA's backward materializes this (M, K)
+    # f32 array in HBM — the measured 0.696 ms/layer fusion in the round-5
+    # train-step trace)
+    dh = jax.lax.dot_general(
+        g_ref[:], wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    da_ref[:, :] = (dh * bf * dgelu).astype(io_dtype)
+    db_ref[:, :] = (dh * gelu_a).astype(io_dtype)
+    # dwo accumulation: h^T @ g with h recomputed on the VPU while the MXU
+    # pipeline runs
+    h = (gelu_a * bf).astype(io_dtype)
+    acc[:, :] += jax.lax.dot_general(
+        h, g_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(m == num_m - 1)
+    def _():
+        dwo_ref[:, :] = acc[:, :].astype(wo_dtype)
+
+
+def _bwd_pallas(a, b, wo, g, block_m, block_k, interpret):
+    m, kdim = a.shape
+    n = wo.shape[1]
+    pad_m = (-m) % block_m
+    if pad_m:
+        # zero rows contribute nothing to dwo and slice off of da/db
+        a = jnp.pad(a, ((0, pad_m), (0, 0)))
+        b = jnp.pad(b, ((0, pad_m), (0, 0)))
+        g = jnp.pad(g, ((0, pad_m), (0, 0)))
+    grid = (kdim // block_k, a.shape[0] // block_m)  # m inner: dwo accum
+    da, db, dwo = pl.pallas_call(
+        functools.partial(_bwd_kernel, io_dtype=a.dtype, wo_dtype=wo.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda k, m: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_k), lambda k, m: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, n), lambda k, m: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, n), lambda k, m: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_m, block_k), lambda k, m: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_k), lambda k, m: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, n), lambda k, m: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((a.shape[0], kdim), a.dtype),
+            jax.ShapeDtypeStruct((a.shape[0], kdim), b.dtype),
+            jax.ShapeDtypeStruct((kdim, n), wo.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_k, n), jnp.float32)],
+        interpret=interpret,
+    )(a, b, g, wo)
+    if pad_m:
+        da, db = da[:m], db[:m]
+    return da, db, dwo
+
+
+def use_pallas_glu_bwd() -> bool:
+    """The fused backward is default ON wherever the forward kernel ran
+    (it is only reachable through _glu_down's custom_vjp);
+    MUSE_TPU_PALLAS_GLU_BWD=0 falls back to the plain XLA expression."""
+    return os.environ.get("MUSE_TPU_PALLAS_GLU_BWD", "1") == "1"
+
+
 def _glu_down_bwd(block_m, block_k, interpret, res, g):
-    """Backward as plain XLA (the kernel only wins on the decode-loop
-    forward; the training backward is a different fusion landscape)."""
+    """Fused Pallas backward (round-5 verdict item 1): per (k, m) tile the
+    kernel recomputes gelu/gelu' on the VPU, keeps the (M, K) f32 ``dh``
+    entirely in VMEM, and accumulates ``dwo`` across the m grid — XLA's
+    expression materializes dh(f32)+da+db in HBM (measured 0.696 ms/layer
+    of the bs32 train step).  MUSE_TPU_PALLAS_GLU_BWD=0 restores the plain
+    XLA expression."""
     a, b, wo = res
+    if use_pallas_glu_bwd():
+        bm = min(BWD_BLOCK_M, max(8, a.shape[0]))
+        bk = BWD_BLOCK_K if a.shape[1] % BWD_BLOCK_K == 0 else block_k
+        if a.shape[1] % bk == 0:
+            return _bwd_pallas(a, b, wo, g, bm, bk, interpret)
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
     gelu_a = jax.nn.gelu(af, approximate=False)

@@ -232,3 +232,37 @@ def test_glu_down_matmul_grad_matches_xla():
     for r, g in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_glu_down_bwd_kernel_pads_and_matches(monkeypatch):
+    """Round-5 fused Pallas backward: non-multiple M pads internally; the
+    kernel grads match the plain-XLA-expression grads bit-for-tolerance,
+    and MUSE_TPU_PALLAS_GLU_BWD=0 restores the XLA path."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_muse_tpu.ops.pallas.glu_matmul import glu_down_matmul
+
+    rs = np.random.RandomState(7)
+    m, k, n = 100, 256, 128  # m % BWD_BLOCK_M != 0 -> pad path
+    a = jnp.asarray(rs.randn(m, k), jnp.float32)
+    b = jnp.asarray(rs.randn(m, k), jnp.float32)
+    wo = jnp.asarray(rs.randn(k, n) * 0.05, jnp.float32)
+
+    def loss(a, b, wo):
+        return jnp.sum(jnp.cos(glu_down_matmul(a, b, wo, interpret=True)))
+
+    def loss_ref(a, b, wo):
+        return jnp.sum(jnp.cos((jax.nn.gelu(a, approximate=False) * b) @ wo))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(a, b, wo)
+
+    monkeypatch.setenv("MUSE_TPU_PALLAS_GLU_BWD", "1")
+    g_pallas = jax.grad(loss, argnums=(0, 1, 2))(a, b, wo)
+    monkeypatch.setenv("MUSE_TPU_PALLAS_GLU_BWD", "0")
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(a, b, wo)
+    for gp, gx, gr in zip(g_pallas, g_xla, g_ref):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4)

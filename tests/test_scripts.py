@@ -396,9 +396,9 @@ def test_train_sweep_resumes(tmp_path, capsys):
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=SWEEP_FIELDS)
         w.writeheader()
-        for bs, remat in SWEEP_CASES:
-            w.writerow({"batch_size": bs, "remat": remat, "step_ms": "1.0",
-                        "error": ""})
+        for bs, remat, accum in SWEEP_CASES:
+            w.writerow({"batch_size": bs, "remat": remat, "accum": accum,
+                        "step_ms": "1.0", "error": ""})
     run_sweep(csv_path, steps=1, timeout_s=1)  # all cached -> no subprocesses
     out = capsys.readouterr().out
     assert out.count("# skip") == len(SWEEP_CASES)
