@@ -1,0 +1,325 @@
+"""Mid-scale distillation quality protocol (round-5 VERDICT item 3).
+
+The research-scale ``distill-research(staged_full_ref)`` rows saturated the
+seeded extractor (teacher-vs-student FID 0.0 AND teacher-vs-stepcut 0.0 —
+no separation, so no evidence either way).  This protocol scales the
+measured toy recipe (eval/quality_regression.run_distill_regression, which
+separates 4.67 / 5.20 / 4.69 at n=1000) to a mid-scale stack where the
+step-cut control is MEASURABLY worse than the distilled student:
+
+* **world**: 64x64 canvas, one solid square of a named color at a RANDOM
+  position and size over a light background.  Unlike the fixed full-frame
+  toy squares, the square's position/extent must be *coherent across
+  tokens*: a MaskGit decode that commits many tokens in parallel with too
+  few refinement steps produces inconsistent edges and phantom patches, so
+  the step count measurably matters — the separation the saturated
+  research-scale rows could not show.
+* **tokens**: reduction-4 MaskGitVQGAN -> 16x16 = 256 image tokens, the
+   f16-256px research token count (reference
+  muse/modeling_transformer_v2.py:757 trunk sequence).
+* **model**: 8 transformer layers, hidden 256, head_dim 64 (the kernel
+  shape family), ~13M params — big enough to need real training, small
+  enough to train in-protocol on one chip.
+
+Everything reported is measured in-run against the same held-out real set:
+teacher at N steps with CFG, teacher at K=N/ratio steps (the undistilled
+step-cut control), distilled student at K steps without CFG, scored with
+FID over seeded CLIP features (labeled NOT-published, deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+__all__ = ["run_distill_midscale", "make_scene_images", "MID_COLORS",
+           "scene_color_accuracy"]
+
+MID_COLORS = {
+    "red": (0.85, 0.10, 0.10),
+    "green": (0.10, 0.80, 0.15),
+    "blue": (0.10, 0.15, 0.85),
+    "yellow": (0.85, 0.80, 0.10),
+    "cyan": (0.10, 0.80, 0.85),
+    "magenta": (0.85, 0.10, 0.80),
+}
+CANVAS = 64
+BACKGROUND = 0.92
+
+
+def make_scene_images(colors: List[str], rs: np.random.RandomState,
+                      noise: float = 0.015) -> np.ndarray:
+    """One solid square per image at a random position/size on a light
+    background.  Position and size are drawn from ``rs`` — the *distribution*
+    is what generation is scored against (FID), not pixel identity."""
+    out = []
+    for c in colors:
+        img = np.full((CANVAS, CANVAS, 3), BACKGROUND, np.float32)
+        size = int(rs.randint(20, 45))
+        y0 = int(rs.randint(0, CANVAS - size + 1))
+        x0 = int(rs.randint(0, CANVAS - size + 1))
+        img[y0:y0 + size, x0:x0 + size] = np.asarray(MID_COLORS[c],
+                                                     np.float32)
+        img += rs.randn(CANVAS, CANVAS, 3).astype(np.float32) * noise
+        out.append(np.clip(img, 0.0, 1.0))
+    return np.stack(out)
+
+
+def scene_color_accuracy(images: List[np.ndarray],
+                         prompts: List[str]) -> float:
+    """Fraction of images whose *square* pixels (non-background: pixels with
+    a channel spread, i.e. saturated color) best match the prompted color.
+    The light-gray background would swamp a global channel mean."""
+    palette = {c: np.asarray(v, np.float32) for c, v in MID_COLORS.items()}
+    correct = 0
+    for img, prompt in zip(images, prompts):
+        want = next(c for c in MID_COLORS if c in prompt)
+        px = np.asarray(img, np.float32).reshape(-1, 3)
+        spread = px.max(axis=1) - px.min(axis=1)
+        colored = px[spread > 0.25]
+        if len(colored) == 0:
+            continue
+        mean = colored.mean(axis=0)
+        got = min(palette, key=lambda c: float(np.sum((palette[c] - mean) ** 2)))
+        correct += int(got == want)
+    return correct / max(len(images), 1)
+
+
+def _build_midscale_stack(seed: int, hidden: int, layers: int):
+    from ..models.clip_text import CLIPTextEncoder, SimpleTokenizer
+    from ..models.maskgit_vqgan import MaskGitVQGAN
+    from ..models.transformer_v2 import MaskGiTUViT_v2
+
+    # reduction 4 (two downsamples) -> (64/4)^2 = 256 tokens
+    vq = MaskGitVQGAN(resolution=CANVAS, hidden_channels=32,
+                      channel_mult=(1, 2, 2), num_res_blocks=1,
+                      z_channels=32, num_embeddings=256,
+                      quantized_embed_dim=32, seed=seed)
+    text_encoder = CLIPTextEncoder(vocab_size=64, hidden_size=64,
+                                   intermediate_size=128, num_hidden_layers=2,
+                                   num_attention_heads=4,
+                                   max_position_embeddings=8,
+                                   projection_dim=48, seed=seed)
+    tokenizer = SimpleTokenizer(64, 8)
+    model = MaskGiTUViT_v2(
+        hidden_size=hidden, cond_embed_dim=48, micro_cond_encode_dim=8,
+        micro_cond_embed_dim=40, encoder_hidden_size=64,
+        vocab_size=256 + 4, mask_token_id=256 + 3, codebook_size=256,
+        in_channels=64, block_out_channels=(64,), num_res_blocks=1,
+        block_num_heads=2, num_hidden_layers=layers,
+        num_attention_heads=hidden // 64, intermediate_size=hidden * 4,
+        seed=seed)
+    return vq, text_encoder, tokenizer, model
+
+
+def _train_vq(vq, rs, steps: int, batch: int, lr: float = 2e-3) -> float:
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..training.optimizers import get_optimizer
+
+    tx = get_optimizer("adamw", lr)
+    opt_state = tx.init(vq.params)
+
+    def loss_fn(params, pixels):
+        recon, z_q, _, vq_loss = vq.module.apply({"params": params}, pixels,
+                                                 True)
+        return jnp.mean(jnp.square(recon - pixels)) + vq_loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, pixels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, pixels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    names = list(MID_COLORS)
+    params, loss = vq.params, None
+    for i in range(steps):
+        pixels = make_scene_images(
+            [names[(i + j) % len(names)] for j in range(batch)], rs)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(pixels))
+    vq.params = params
+    vq._jit_cache.clear()
+    return float(loss)
+
+
+def _sample(model, vq, text_encoder, tokenizer, prompts, key, timesteps,
+            guidance_scale, batch_size: int = 16) -> List[np.ndarray]:
+    import jax
+    import jax.numpy as jnp
+
+    seq_len = (CANVAS // vq.config.reduction_factor) ** 2
+    empty_ids = jnp.asarray(tokenizer([""] * batch_size)["input_ids"])
+    ehs_e, _, pooled_e = text_encoder.encode(empty_ids)
+    images: List[np.ndarray] = []
+    for start in range(0, len(prompts), batch_size):
+        chunk = prompts[start:start + batch_size]
+        n = len(chunk)
+        padded = chunk + [chunk[-1]] * (batch_size - n)
+        ids = jnp.asarray(tokenizer(padded)["input_ids"])
+        hs, _, pooled = text_encoder.encode(ids)
+        micro = jnp.asarray([[CANVAS, CANVAS, 0, 0, 6.0]] * batch_size,
+                            jnp.float32)
+        tokens = model.generate2(
+            hs[-2], pooled, micro,
+            empty_embeds=ehs_e[-2], empty_cond_embeds=pooled_e,
+            timesteps=timesteps, guidance_scale=guidance_scale,
+            temperature=(1.0, 0.0), seq_len=seq_len,
+            key=jax.random.fold_in(key, start))
+        images.extend(np.asarray(vq.decode_code(tokens))[:n])
+    return images
+
+
+def run_distill_midscale(train_steps: int = 2500, vq_steps: int = 600,
+                         distill_steps: int = 700, n_eval: int = 240,
+                         seed: int = 0, teacher_timesteps: int = 12,
+                         step_ratio: int = 2, guidance_scale: float = 4.0,
+                         hidden: int = 256, layers: int = 8,
+                         batch: int = 16, distill_lr: float = 3e-4,
+                         log=print) -> Dict[str, float]:
+    """Train the mid-scale teacher, self-distill it to K=N/step_ratio
+    no-CFG steps, and score teacher_full / teacher_k (step-cut control) /
+    student_k against the same held-out real set.  The protocol passes its
+    discriminative bar when fid_teacher_k > fid_student_k by a margin the
+    split-half noise floor cannot explain."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.sampling import cosine_schedule
+    from ..training import trainer as T
+    from ..training.distill import make_distill_step
+    from ..training.optimizers import get_optimizer
+    from .fid import CLIPFeatureExtractor, fid_between_image_sets
+
+    rs = np.random.RandomState(seed)
+    vq, text_encoder, tokenizer, model = _build_midscale_stack(
+        seed, hidden, layers)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(model.params))
+    log(f"midscale stack: {layers} layers, hidden {hidden}, "
+        f"{n_params / 1e6:.1f}M transformer params, 256 tokens")
+
+    log("stage 1: training VQ tokenizer")
+    recon = _train_vq(vq, rs, vq_steps, batch)
+    log(f"  recon_loss={recon:.4f}")
+
+    names = list(MID_COLORS)
+
+    def batch_for(i):
+        colors = [names[(i + j) % len(names)] for j in range(batch)]
+        pixels = make_scene_images(colors, rs)
+        tokens = vq.get_code(jnp.asarray(pixels))
+        texts = [f"a {c} square" for c in colors]
+        ids = jnp.asarray(tokenizer(texts)["input_ids"])
+        hs, _, pooled = text_encoder.encode(ids)
+        return {
+            "image_tokens": tokens,
+            "encoder_hidden_states": hs[-2],
+            "cond_embeds": pooled,
+            "micro_conds": jnp.asarray([[CANVAS, CANVAS, 0, 0, 6.0]] * batch,
+                                       jnp.float32),
+        }
+
+    log("stage 2: training teacher")
+    tx = get_optimizer("adamw", 2e-3, max_grad_norm=1.0)
+    state = T.create_train_state(model.params, tx)
+    step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule,
+                                     model.config.mask_token_id,
+                                     codebook_size=256)
+    key = jax.random.PRNGKey(seed)
+    first_loss = last_loss = None
+    for i in range(train_steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch_for(i), sub)
+        if i == 0:
+            first_loss = float(metrics["loss"])
+        if (i + 1) % 500 == 0:
+            log(f"  step {i + 1}: loss={float(metrics['loss']):.4f}")
+        last_loss = float(metrics["loss"])
+    log(f"  teacher loss {first_loss:.4f} -> {last_loss:.4f}")
+    teacher_params = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True), state.params)
+
+    k_steps = teacher_timesteps // step_ratio
+    log(f"stage 3: self-distilling {teacher_timesteps}-step "
+        f"cfg={guidance_scale} teacher -> {k_steps}-step no-cfg student")
+    seq_len = (CANVAS // vq.config.reduction_factor) ** 2
+    dtx = get_optimizer("adamw", distill_lr, max_grad_norm=1.0)
+    dstate = T.create_train_state(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                               teacher_params), dtx)
+    dstep = make_distill_step(
+        model.module, dtx, mask_token_id=model.config.mask_token_id,
+        teacher_timesteps=teacher_timesteps, step_ratio=step_ratio,
+        guidance_scale=guidance_scale, temperature=(1.0, 0.0),
+        seq_len=seq_len, ema_decay=None)
+    empty_ids = jnp.asarray(tokenizer([""])["input_ids"])
+    ehs_e, _, pooled_e = text_encoder.encode(empty_ids)
+    dkey = jax.random.PRNGKey(seed + 3)
+    dfirst = dlast = None
+    for i in range(distill_steps):
+        dkey, sub = jax.random.split(dkey)
+        texts = [f"a {names[(i + j) % len(names)]} square"
+                 for j in range(batch)]
+        ids = jnp.asarray(tokenizer(texts)["input_ids"])
+        hs, _, pooled = text_encoder.encode(ids)
+        dbatch = {"encoder_hidden_states": hs[-2], "cond_embeds": pooled,
+                  "micro_conds": jnp.asarray(
+                      [[CANVAS, CANVAS, 0, 0, 6.0]] * batch, jnp.float32),
+                  "empty_embeds": ehs_e[-2], "empty_cond_embeds": pooled_e}
+        dstate, metrics = dstep(dstate, teacher_params, dbatch, sub)
+        if i == 0:
+            dfirst = float(metrics["loss"])
+        dlast = float(metrics["loss"])
+    log(f"  distill loss {dfirst:.4f} -> {dlast:.4f}")
+
+    log("stage 4: scoring teacher_full / teacher_k / student_k")
+    eval_colors = [names[i % len(names)] for i in range(n_eval)]
+    prompts = [f"a {c} square" for c in eval_colors]
+    real_rs = np.random.RandomState(seed + 1)
+    real_images = list(make_scene_images(eval_colors, real_rs))
+    # split-half noise floor of the estimator at this n
+    real_b = list(make_scene_images(eval_colors,
+                                    np.random.RandomState(seed + 7)))
+    extractor = CLIPFeatureExtractor.seeded(
+        seed=1234, image_size=CANVAS, patch_size=8)
+    fid_floor = fid_between_image_sets(real_images, real_b, extractor)
+    gen_key = jax.random.PRNGKey(seed + 2)
+
+    def score(params, timesteps, cfg, tag):
+        model.params = params
+        model._jit_cache.clear()
+        images = _sample(model, vq, text_encoder, tokenizer, prompts,
+                         gen_key, timesteps, cfg)
+        fid = fid_between_image_sets(real_images, images, extractor)
+        acc = scene_color_accuracy(images, prompts)
+        log(f"  {tag}: steps={timesteps} cfg={cfg} fid={fid:.3f} "
+            f"acc={acc:.2f}")
+        return fid, acc
+
+    fid_tf, acc_tf = score(teacher_params, teacher_timesteps,
+                           guidance_scale, "teacher_full")
+    fid_tk, acc_tk = score(teacher_params, k_steps, 0.0,
+                           "teacher_k (step-cut control)")
+    fid_sk, acc_sk = score(dstate.params, k_steps, 0.0, "student_k")
+
+    return {
+        "n_params_m": n_params / 1e6,
+        "hidden": float(hidden), "layers": float(layers),
+        "teacher_timesteps": float(teacher_timesteps),
+        "student_timesteps": float(k_steps),
+        "guidance_scale": float(guidance_scale),
+        "vq_recon_loss": recon,
+        "train_loss_first": first_loss, "train_loss_last": last_loss,
+        "distill_loss_first": dfirst, "distill_loss_last": dlast,
+        "fid_split_half_floor": fid_floor,
+        "fid_teacher_full": fid_tf, "color_accuracy_teacher_full": acc_tf,
+        "fid_teacher_k": fid_tk, "color_accuracy_teacher_k": acc_tk,
+        "fid_student_k": fid_sk, "color_accuracy_student_k": acc_sk,
+        "n_eval": float(n_eval),
+        "train_steps": float(train_steps),
+        "distill_steps": float(distill_steps),
+    }
