@@ -78,7 +78,7 @@ def _self_vmem_bytes(seq: int, hidden: int, num_heads: int,
     softmax runs in stages so big trunks fit; None = all heads at once)."""
     sp = stage_pairs or num_heads // 2
     blocked = 4 * seq * hidden * itemsize          # x, res, out, resout
-    blocked += 2 * hidden * itemsize               # adaln row (1, 2D)
+    blocked += 2 * hidden * itemsize               # adaln rows (2, D)
     weights = (3 * hidden + hidden) * hidden * itemsize   # wqkv + wout
     weights += hidden * itemsize                   # ln scale
     scratch = seq * 3 * hidden * itemsize          # qkv
@@ -195,9 +195,13 @@ def _rmsnorm_adaln(x_ref, res_ref, scale_ref, adaln_ref, eps, dim):
     var = jnp.mean(jnp.square(h.astype(jnp.float32)), axis=-1, keepdims=True)
     n = h * jax.lax.rsqrt(var + eps).astype(h.dtype)
     n = n * scale_ref[:, :].astype(h.dtype)           # (1, D) broadcast
-    mapped = adaln_ref[0]                             # (1, 2D)
-    a_scale = mapped[:, :dim]
-    a_shift = mapped[:, dim:]
+    # adaln arrives as (2, D) so scale/shift are SUBLANE slices: a lane slice
+    # (mapped[:, dim:]) carries a lane offset Mosaic cannot relayout for the
+    # (1, D) -> (S, D) broadcast at D < 512 ("Invalid input layout",
+    # found by the hidden-256 midscale protocol; D = 1024 happened to work)
+    mapped = adaln_ref[0]                             # (2, D)
+    a_scale = mapped[0:1, :]
+    a_shift = mapped[1:2, :]
     a = n * (1.0 + a_scale.astype(h.dtype)) + a_shift.astype(h.dtype)
     return h, a
 
@@ -314,6 +318,14 @@ def _row_spec(cols):
                         memory_space=pltpu.VMEM)
 
 
+def _adaln_spec(dim):
+    # adaln as (B, 2, D): row 0 = scale, row 1 = shift, so the kernel slices
+    # SUBLANES (lane-offset slices of a (1, 2D) row fail Mosaic relayout for
+    # the AdaLN broadcast at D < 512)
+    return pl.BlockSpec((1, 2, dim), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _self_primal(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps,
                  interpret):
     b, s, d = x.shape
@@ -326,7 +338,7 @@ def _self_primal(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps,
         in_specs=[_bsd_spec(s, d), _bsd_spec(s, d),
                   pl.BlockSpec((1, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  _row_spec(2 * d), _full_spec(), _full_spec()],
+                  _adaln_spec(d), _full_spec(), _full_spec()],
         out_specs=(_bsd_spec(s, d), _bsd_spec(s, d)),
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
                    jax.ShapeDtypeStruct(x.shape, x.dtype)),
@@ -337,7 +349,7 @@ def _self_primal(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=limit),
         interpret=interpret,
-    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 1, 2 * d), wqkv, wout)
+    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 2, d), wqkv, wout)
     return out, res_out
 
 
@@ -355,7 +367,7 @@ def _cross_primal(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps,
         in_specs=[_bsd_spec(s, d), _bsd_spec(s, d),
                   pl.BlockSpec((1, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  _row_spec(2 * d), _full_spec(), _full_spec(),
+                  _adaln_spec(d), _full_spec(), _full_spec(),
                   _bsd_spec(l_pad, 2 * d)],
         out_specs=(_bsd_spec(s, d), _bsd_spec(s, d)),
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -367,7 +379,7 @@ def _cross_primal(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=limit),
         interpret=interpret,
-    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 1, 2 * d), wq, wout, kv)
+    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 2, d), wq, wout, kv)
     return out, res_out
 
 
@@ -387,14 +399,14 @@ def _cross_primal(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps,
 def _rms_adaln_bwd(da, h, hhat, r, scale_ref, adaln_ref, g_res, dim,
                    dadaln_ref, dln_ref, dx_ref):
     """Shared backward epilogue: AdaLN -> affine-rmsnorm -> residual.
-    Writes dadaln (1, 2D), dln partial (1, D, f32) and dx (= dres)."""
-    mapped = adaln_ref[0]
-    a_scale = mapped[:, :dim].astype(jnp.float32)
+    Writes dadaln (2, D), dln partial (1, D, f32) and dx (= dres)."""
+    mapped = adaln_ref[0]                                   # (2, D)
+    a_scale = mapped[0:1, :].astype(jnp.float32)
     n2 = (hhat * scale_ref[:, :].astype(hhat.dtype)).astype(jnp.float32)
     da_f = da.astype(jnp.float32)
     ds = jnp.sum(da_f * n2, axis=0, keepdims=True)          # (1, D)
     dt = jnp.sum(da_f, axis=0, keepdims=True)
-    dadaln_ref[0] = jnp.concatenate([ds, dt], axis=1).astype(dadaln_ref.dtype)
+    dadaln_ref[0] = jnp.concatenate([ds, dt], axis=0).astype(dadaln_ref.dtype)
     dn2 = da_f * (1.0 + a_scale)
     hhat_f = hhat.astype(jnp.float32)
     dln_ref[0] = jnp.sum(dn2 * hhat_f, axis=0, keepdims=True)
@@ -472,9 +484,9 @@ def _recompute_fwd(x_ref, res_ref, scale_ref, adaln_ref, eps, dim):
     r = jax.lax.rsqrt(var + eps)
     hhat = h * r.astype(h.dtype)
     n2 = hhat * scale_ref[:, :].astype(h.dtype)
-    mapped = adaln_ref[0]
-    a = n2 * (1.0 + mapped[:, :dim].astype(h.dtype)) \
-        + mapped[:, dim:].astype(h.dtype)
+    mapped = adaln_ref[0]                             # (2, D), sublane slices
+    a = n2 * (1.0 + mapped[0:1, :].astype(h.dtype)) \
+        + mapped[1:2, :].astype(h.dtype)
     return h, hhat, r, a
 
 
@@ -589,12 +601,12 @@ def _self_bwd_pallas(x, res, ln_scale, adaln, wqkv, wout, g_out, g_res,
         in_specs=[_bsd_spec(s, d), _bsd_spec(s, d),
                   pl.BlockSpec((1, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  _row_spec(2 * d), _full_spec(), _full_spec(),
+                  _adaln_spec(d), _full_spec(), _full_spec(),
                   _bsd_spec(s, d), _bsd_spec(s, d)],
-        out_specs=(_bsd_spec(s, d), _row_spec(2 * d), _row_spec(d),
+        out_specs=(_bsd_spec(s, d), _adaln_spec(d), _row_spec(d),
                    _bsd_spec(s, d), _bsd_spec(s, 3 * d), _bsd_spec(s, d)),
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
-                   jax.ShapeDtypeStruct((b, 1, 2 * d), adaln.dtype),
+                   jax.ShapeDtypeStruct((b, 2, d), adaln.dtype),
                    jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
                    jax.ShapeDtypeStruct(x.shape, x.dtype),
                    jax.ShapeDtypeStruct((b, s, 3 * d), x.dtype),
@@ -605,7 +617,7 @@ def _self_bwd_pallas(x, res, ln_scale, adaln, wqkv, wout, g_out, g_res,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=limit),
         interpret=interpret,
-    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 1, 2 * d), wqkv, wout,
+    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 2, d), wqkv, wout,
       g_out, g_res)
     # weight grads in XLA: (D, B*S) x (B*S, 3D) contractions run near peak
     dwqkv = jnp.einsum("bsd,bse->de", a_m, dqkv_m,
@@ -613,7 +625,7 @@ def _self_bwd_pallas(x, res, ln_scale, adaln, wqkv, wout, g_out, g_res,
     dwout = jnp.einsum("bsd,bse->de", attn_m, g_out,
                        preferred_element_type=jnp.float32).astype(wout.dtype)
     dln = jnp.sum(dln_b[:, 0, :], axis=0).astype(ln_scale.dtype)
-    return (dx, dx, dln, dadaln_b[:, 0, :].astype(adaln.dtype), dwqkv, dwout)
+    return (dx, dx, dln, dadaln_b.reshape(b, 2 * d).astype(adaln.dtype), dwqkv, dwout)
 
 
 def _cross_bwd_pallas(x, res, ln_scale, adaln, wq, wout, kv, g_out, g_res,
@@ -628,13 +640,13 @@ def _cross_bwd_pallas(x, res, ln_scale, adaln, wq, wout, kv, g_out, g_res,
         in_specs=[_bsd_spec(s, d), _bsd_spec(s, d),
                   pl.BlockSpec((1, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  _row_spec(2 * d), _full_spec(), _full_spec(),
+                  _adaln_spec(d), _full_spec(), _full_spec(),
                   _bsd_spec(l_pad, 2 * d), _bsd_spec(s, d), _bsd_spec(s, d)],
-        out_specs=(_bsd_spec(s, d), _row_spec(2 * d), _row_spec(d),
+        out_specs=(_bsd_spec(s, d), _adaln_spec(d), _row_spec(d),
                    _bsd_spec(s, d), _bsd_spec(s, d), _bsd_spec(s, d),
                    _bsd_spec(l_pad, 2 * d)),
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
-                   jax.ShapeDtypeStruct((b, 1, 2 * d), adaln.dtype),
+                   jax.ShapeDtypeStruct((b, 2, d), adaln.dtype),
                    jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
                    jax.ShapeDtypeStruct(x.shape, x.dtype),
                    jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -646,14 +658,14 @@ def _cross_bwd_pallas(x, res, ln_scale, adaln, wq, wout, kv, g_out, g_res,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=limit),
         interpret=interpret,
-    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 1, 2 * d), wq, wout,
+    )(x, res, ln_scale.reshape(1, d), adaln.reshape(b, 2, d), wq, wout,
       kv, g_out, g_res)
     dwq = jnp.einsum("bsd,bse->de", a_m, dq_m,
                      preferred_element_type=jnp.float32).astype(wq.dtype)
     dwout = jnp.einsum("bsd,bse->de", attn_m, g_out,
                        preferred_element_type=jnp.float32).astype(wout.dtype)
     dln = jnp.sum(dln_b[:, 0, :], axis=0).astype(ln_scale.dtype)
-    return (dx, dx, dln, dadaln_b[:, 0, :].astype(adaln.dtype), dwq, dwout,
+    return (dx, dx, dln, dadaln_b.reshape(b, 2 * d).astype(adaln.dtype), dwq, dwout,
             dkv)
 
 
