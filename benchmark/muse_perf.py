@@ -85,12 +85,16 @@ def published_rows():
     return rows
 
 
-def build(resolution: int, dtype):
+def build(resolution: int, dtype, fullres: bool = False):
     from open_muse_tpu.models.clip_text import CLIPTextEncoder
     from open_muse_tpu.models.taming_vqgan import VQGANModel
     from open_muse_tpu.models.transformer_v2 import MaskGiTUViT_v2
 
-    force = resolution == 512  # 512px research model downsamples 32x32 -> 16x16
+    # 512px benchmark default downsamples 32x32 -> 16x16 like the reference's
+    # benchmarked variant; ``fullres`` keeps the 1024-token trunk
+    # (configs/research_run_512.yaml, "NO down/up-sample") — the seq-1024
+    # shape the staged attn_sublayer kernel gained in round 5.
+    force = resolution == 512 and not fullres
     transformer = MaskGiTUViT_v2(force_down_up_sample=force, dtype=dtype)
     text_encoder = CLIPTextEncoder(
         vocab_size=49408, hidden_size=768, intermediate_size=3072,
@@ -253,7 +257,8 @@ def validate_rows(rows):
     return problems
 
 
-def flops_via_cpu_subprocess(resolution, batch_size, cfg_mult: int = 2):
+def flops_via_cpu_subprocess(resolution, batch_size, cfg_mult: int = 2,
+                             fullres: bool = False):
     """XLA cost analysis needs a backend that exposes it — the axon tunnel
     returns None for both lowered and compiled analyses, the CPU backend
     answers instantly from the lowered module (no compile).  Run the analysis
@@ -265,6 +270,8 @@ def flops_via_cpu_subprocess(resolution, batch_size, cfg_mult: int = 2):
                               "artifacts", ".flops_cache.json")
     key = (f"{resolution}-{batch_size}" if cfg_mult == 2
            else f"{resolution}-{batch_size}-cfg{cfg_mult}")
+    if fullres:
+        key += "-fullres"
     cache = {}
     if os.path.isfile(cache_path):
         try:
@@ -281,7 +288,8 @@ def flops_via_cpu_subprocess(resolution, batch_size, cfg_mult: int = 2):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flops",
              str(resolution), str(batch_size),
-             "--flops-cfg-mult", str(cfg_mult)],
+             "--flops-cfg-mult", str(cfg_mult)]
+            + (["--fullres"] if fullres else []),
             env=env, capture_output=True, text=True, timeout=900)
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
@@ -297,13 +305,18 @@ def flops_via_cpu_subprocess(resolution, batch_size, cfg_mult: int = 2):
 
 
 def run_one_case(resolution, batch_size, steps, iters, chains, out_path,
-                 distilled: bool = False):
+                 distilled: bool = False, fullres: bool = False):
     """Measure one config and append its row to the CSV.
 
     ``distilled=True`` measures the step/guidance-distilled serving config
     (training/distill.py): no CFG batch-double, typically half the steps —
     the weights differ from the teacher but the program/latency does not
-    depend on values, so the measurement uses the same staged weights."""
+    depend on values, so the measurement uses the same staged weights.
+
+    ``fullres=True`` measures the no-downsample 1024-token trunk
+    (configs/research_run_512.yaml) — rows land as model=muse_tpu_fullres
+    and the ``use_fused_residual_norm`` column records whether the Pallas
+    attn-sublayer kernel was enabled (env MUSE_TPU_PALLAS_ATTN_SUBLAYER)."""
     import jax
     import jax.numpy as jnp
 
@@ -312,20 +325,30 @@ def run_one_case(resolution, batch_size, steps, iters, chains, out_path,
     _enable_compile_cache()
     device = jax.devices()[0].device_kind
     cfg_mult = 1 if distilled else 2
-    transformer, text_encoder, vae, seq_len = build(resolution, jnp.bfloat16)
+    transformer, text_encoder, vae, seq_len = build(resolution, jnp.bfloat16,
+                                                    fullres=fullres)
     ms, imgs, peak_gb = run_case(transformer, text_encoder, vae, seq_len,
                                  batch_size, steps, iters=iters, chains=chains,
                                  guidance_scale=0.0 if distilled else 8.0)
-    parts = flops_via_cpu_subprocess(resolution, batch_size, cfg_mult)
+    parts = flops_via_cpu_subprocess(resolution, batch_size, cfg_mult,
+                                     fullres=fullres)
     if parts is None:
         parts = component_flops(transformer, text_encoder, vae, seq_len,
                                 batch_size, cfg_mult)
     per_step, fixed, source = parts
     total_flops = steps * per_step + fixed
-    row = {"model": "muse_tpu_distilled" if distilled else "muse_tpu",
+    model_name = ("muse_tpu_distilled" if distilled
+                  else "muse_tpu_fullres" if fullres else "muse_tpu")
+    kernel_col = "xla-fused"
+    if fullres:
+        kernel_col = ("pallas-sublayer"
+                      if os.environ.get("MUSE_TPU_PALLAS_ATTN_SUBLAYER",
+                                        "1") != "0"
+                      else "xla-only")
+    row = {"model": model_name,
            "resolution": resolution,
            "batch_size": batch_size, "timesteps": steps,
-           "use_xformers": "n/a", "use_fused_residual_norm": "xla-fused",
+           "use_xformers": "n/a", "use_fused_residual_norm": kernel_col,
            "device": device, "median_ms": round(ms, 1),
            "imgs_per_sec": round(imgs, 2), "peak_mem_gb": peak_gb,
            "tflops_per_call_est": round(total_flops / 1e12, 3),
@@ -371,6 +394,11 @@ def main(argv=None):
                         help="measure the distilled serving config: no CFG "
                              "batch-double, default timesteps [6]; rows land "
                              "as model=muse_tpu_distilled")
+    parser.add_argument("--fullres", action="store_true",
+                        help="measure the no-downsample 1024-token trunk "
+                             "(configs/research_run_512.yaml); rows land as "
+                             "model=muse_tpu_fullres and record whether the "
+                             "Pallas attn-sublayer kernel was on")
     parser.add_argument("--case-timeout", type=int, default=2400,
                         help="per-case subprocess timeout, seconds")
     parser.add_argument("--retries", type=int, default=2)
@@ -381,7 +409,8 @@ def main(argv=None):
         import json as _json
 
         transformer, text_encoder, vae, seq_len = build(args.flops[0],
-                                                        jnp.bfloat16)
+                                                        jnp.bfloat16,
+                                                        fullres=args.fullres)
         per_step, fixed, source = component_flops(
             transformer, text_encoder, vae, seq_len, args.flops[1],
             args.flops_cfg_mult)
@@ -396,7 +425,8 @@ def main(argv=None):
         # in-process single case (the unit the orchestrator spawns)
         return 0 if run_one_case(args.case[0], args.case[1], args.case[2],
                                  args.iters, args.chains, args.out,
-                                 distilled=args.distilled) else 1
+                                 distilled=args.distilled,
+                                 fullres=args.fullres) else 1
 
     # Orchestrator: one SUBPROCESS per case with timeout + retry.  The remote
     # compile service can wedge indefinitely (a hung XLA call is
@@ -408,7 +438,8 @@ def main(argv=None):
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     if args.fresh and os.path.isfile(args.out):
         os.remove(args.out)
-    model_name = "muse_tpu_distilled" if args.distilled else "muse_tpu"
+    model_name = ("muse_tpu_distilled" if args.distilled
+                  else "muse_tpu_fullres" if args.fullres else "muse_tpu")
     done = set()
     if os.path.isfile(args.out):
         with open(args.out) as f:
@@ -430,6 +461,8 @@ def main(argv=None):
                        "--out", args.out]
                 if args.distilled:
                     cmd.append("--distilled")
+                if args.fullres:
+                    cmd.append("--fullres")
                 for attempt in range(args.retries + 1):
                     try:
                         proc = subprocess.run(cmd, timeout=args.case_timeout,

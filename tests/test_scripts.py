@@ -446,6 +446,51 @@ def test_muse_perf_distilled_flops_halve():
     assert validate_rows(rows) == []
 
 
+def test_muse_perf_fullres_row(tmp_path, monkeypatch):
+    """--fullres (round-5 verdict item 4 evidence path): builds the
+    no-downsample 1024-token trunk (configs/research_run_512.yaml), labels
+    rows model=muse_tpu_fullres, and records the Pallas attn-sublayer
+    kernel state in the use_fused_residual_norm column."""
+    import csv as _csv
+
+    from benchmark import muse_perf
+
+    seen = {}
+
+    def fake_build(resolution, dtype, fullres=False):
+        seen["fullres"] = fullres
+        return "tf", "te", "vae", 1024
+
+    monkeypatch.setattr(muse_perf, "build", fake_build)
+    monkeypatch.setattr(muse_perf, "run_case",
+                        lambda *a, **k: (100.0, 10.0, 1.0))
+    monkeypatch.setattr(muse_perf, "flops_via_cpu_subprocess",
+                        lambda *a, **k: (1e12, 1e11, "xla-cost-analysis"))
+    out = tmp_path / "all.csv"
+
+    monkeypatch.setenv("MUSE_TPU_PALLAS_ATTN_SUBLAYER", "1")
+    row = muse_perf.run_one_case(512, 1, 12, 1, 1, str(out), fullres=True)
+    assert seen["fullres"] is True
+    assert row["model"] == "muse_tpu_fullres"
+    assert row["use_fused_residual_norm"] == "pallas-sublayer"
+
+    monkeypatch.setenv("MUSE_TPU_PALLAS_ATTN_SUBLAYER", "0")
+    row = muse_perf.run_one_case(512, 1, 12, 1, 1, str(out), fullres=True)
+    assert row["use_fused_residual_norm"] == "xla-only"
+
+    with open(out, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 2 and all(r["model"] == "muse_tpu_fullres"
+                                  for r in rows)
+
+    # default (non-fullres) path is untouched
+    monkeypatch.delenv("MUSE_TPU_PALLAS_ATTN_SUBLAYER")
+    row = muse_perf.run_one_case(256, 1, 12, 1, 1, str(out))
+    assert seen["fullres"] is False
+    assert row["model"] == "muse_tpu"
+    assert row["use_fused_residual_norm"] == "xla-fused"
+
+
 def test_log_inpainting_images_script(tmp_path):
     """Standalone inpainting logger (reference scripts/
     log_inpainting_images.py:20-93): segmented.jpg + per-generation JPEGs +
