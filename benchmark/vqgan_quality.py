@@ -82,23 +82,34 @@ def write_shard(path: str, n: int, seed: int):
             tf.addfile(info, io.BytesIO(meta))
 
 
-def train_variant(tmp, shard, steps, gan: bool):
+VARIANTS = {
+    # tag -> extra training-config knobs on top of recon+codebook
+    "recon_only": {},
+    "perceptual_only": {"perceptual_weight": 0.3},
+    "gan_only": {"disc_weight": 0.2, "disc_loss": "hinge",
+                 "disc_channels": 16, "disc_layers": 2},
+    "full_taming": {"perceptual_weight": 0.3, "disc_weight": 0.2,
+                    "disc_loss": "hinge", "disc_channels": 16,
+                    "disc_layers": 2},
+}
+
+
+def train_variant(tmp, shard, steps, variant: str):
     import yaml
 
     from open_muse_tpu.training.train_vqgan import main
 
-    out = os.path.join(tmp, "gan" if gan else "recon")
+    out = os.path.join(tmp, variant)
     training = {"batch_size": 8, "max_train_steps": steps, "seed": 0,
                 "l1_weight": 1.0, "l2_weight": 1.0, "codebook_weight": 1.0}
-    if gan:
+    training.update(VARIANTS[variant])
+    if training.get("disc_weight"):
         # taming's schedule shape: the disc joins only after recon training
         # has converged (the reference recipe gates it at step 10k of a much
         # longer run — configs/vqgan_gan.yaml); at protocol scale that is the
         # halfway point.  An early disc_start (steps//4, round-5 first cut)
         # measurably HURT: FID 71.1 vs 40.7 recon-only at 400 steps.
-        training.update(perceptual_weight=0.3, disc_weight=0.2,
-                        disc_start=steps // 2, disc_loss="hinge",
-                        disc_channels=16, disc_layers=2)
+        training.setdefault("disc_start", steps // 2)
     cfg = {
         "experiment": {"name": "vqgan-quality", "output_dir": out,
                        "save_every": steps, "generate_every": steps,
@@ -113,7 +124,7 @@ def train_variant(tmp, shard, steps, gan: bool):
                   "vq_model": {"params": VQ_TINY}},
         "training": training,
     }
-    cfg_path = os.path.join(tmp, f"cfg_{'gan' if gan else 'recon'}.yaml")
+    cfg_path = os.path.join(tmp, f"cfg_{variant}.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
     state = main([f"config={cfg_path}"])
@@ -139,6 +150,11 @@ def main(argv=None):
     ap.add_argument("--tmp", default="/tmp/vqgan_quality")
     ap.add_argument("--csv", default=os.path.join(ARTIFACTS,
                                                   "quality_ours.csv"))
+    ap.add_argument("--variants", nargs="+", default=list(VARIANTS),
+                    choices=list(VARIANTS),
+                    help="ablation: which objectives to train and score "
+                         "(attributes any regression to the perceptual "
+                         "term vs the adversarial term)")
     args = ap.parse_args(argv)
 
     os.makedirs(args.tmp, exist_ok=True)
@@ -154,9 +170,8 @@ def main(argv=None):
                                         fid_between_image_sets)
 
     results = {}
-    for gan in (False, True):
-        tag = "gan" if gan else "recon_only"
-        vq = train_variant(args.tmp, shard, args.steps, gan)
+    for tag in args.variants:
+        vq = train_variant(args.tmp, shard, args.steps, tag)
         recons = []
         for start in range(0, args.n_eval, 8):
             px = jnp.asarray(eval_set[start:start + 8])
@@ -186,10 +201,15 @@ def main(argv=None):
                          n_images=args.n_eval,
                          notes="recon-vs-original feature FID "
                                "(lower = GAN/perceptual helped)"))
+    new_metrics = {r["metric"] for r in rows}
     with open(args.csv) as f:
         reader = csv.DictReader(f)
         fields = reader.fieldnames
-        existing = [r for r in reader if r["protocol"] != proto]
+        # replace only the (protocol, metric) pairs this run re-measured, so
+        # a --variants subset run cannot silently drop other variants' rows
+        existing = [r for r in reader
+                    if not (r["protocol"] == proto
+                            and r["metric"] in new_metrics)]
     with open(args.csv + ".tmp", "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()

@@ -207,6 +207,8 @@ def run_distill_midscale(train_steps: int = 2500, vq_steps: int = 600,
     log(f"  recon_loss={recon:.4f}")
 
     names = list(MID_COLORS)
+    empty_ids = jnp.asarray(tokenizer([""])["input_ids"])
+    ehs_e, _, pooled_e = text_encoder.encode(empty_ids)
 
     def batch_for(i):
         colors = [names[(i + j) % len(names)] for j in range(batch)]
@@ -221,6 +223,15 @@ def run_distill_midscale(train_steps: int = 2500, vq_steps: int = 600,
             "cond_embeds": pooled,
             "micro_conds": jnp.asarray([[CANVAS, CANVAS, 0, 0, 6.0]] * batch,
                                        jnp.float32),
+            # CFG cond-dropout inputs: without these the teacher never sees
+            # the empty conditioning, its unconditional branch is out of
+            # distribution, and guidance AMPLIFIES noise instead of quality —
+            # the first protocol run measured teacher-at-12-steps-cfg4 WORSE
+            # than its own 6-step no-CFG decode (fid 6.925 vs 6.988, both at
+            # chance color accuracy).  Reference recipe: train_muse.py
+            # cond_dropout + configs (10% dropout).
+            "empty_embeds": ehs_e[-2],
+            "empty_cond_embeds": pooled_e,
         }
 
     log("stage 2: training teacher")
@@ -228,7 +239,8 @@ def run_distill_midscale(train_steps: int = 2500, vq_steps: int = 600,
     state = T.create_train_state(model.params, tx)
     step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule,
                                      model.config.mask_token_id,
-                                     codebook_size=256)
+                                     codebook_size=256,
+                                     cond_dropout_prob=0.1)
     key = jax.random.PRNGKey(seed)
     first_loss = last_loss = None
     for i in range(train_steps):
@@ -256,8 +268,6 @@ def run_distill_midscale(train_steps: int = 2500, vq_steps: int = 600,
         teacher_timesteps=teacher_timesteps, step_ratio=step_ratio,
         guidance_scale=guidance_scale, temperature=(1.0, 0.0),
         seq_len=seq_len, ema_decay=None)
-    empty_ids = jnp.asarray(tokenizer([""])["input_ids"])
-    ehs_e, _, pooled_e = text_encoder.encode(empty_ids)
     dkey = jax.random.PRNGKey(seed + 3)
     dfirst = dlast = None
     for i in range(distill_steps):
