@@ -189,7 +189,7 @@ def distill_midscale_mode(args):
         distill_steps=args.distill_steps, n_eval=args.n_eval,
         seed=args.seed, teacher_timesteps=args.teacher_timesteps,
         step_ratio=args.step_ratio, guidance_scale=args.cfg,
-        batch=args.batch_size)
+        batch=args.batch_size, probe_every=args.probe_every)
     proto = (f"distill-midscale(seed={args.seed},steps={args.train_steps},"
              f"{int(m['layers'])}L/h{int(m['hidden'])},256tok,"
              f"N={args.teacher_timesteps}->K={int(m['student_timesteps'])},"
@@ -495,6 +495,9 @@ def main(argv=None):
     p.add_argument("--cfg", type=float, default=8.0)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--probe-every", type=int, default=0,
+                   help="distill-midscale: log teacher color accuracy at "
+                        "cfg 0/2 every N training steps (0 = off)")
     p.add_argument("--out", default=os.path.join(ARTIFACTS,
                                                  "quality_ours.csv"))
     args = p.parse_args(argv)

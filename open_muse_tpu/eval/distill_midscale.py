@@ -174,20 +174,34 @@ def _sample(model, vq, text_encoder, tokenizer, prompts, key, timesteps,
     return images
 
 
-def run_distill_midscale(train_steps: int = 2500, vq_steps: int = 600,
+def run_distill_midscale(train_steps: int = 6000, vq_steps: int = 600,
                          distill_steps: int = 700, n_eval: int = 240,
                          seed: int = 0, teacher_timesteps: int = 12,
-                         step_ratio: int = 2, guidance_scale: float = 4.0,
+                         step_ratio: int = 2, guidance_scale: float = 2.0,
                          hidden: int = 256, layers: int = 8,
                          batch: int = 16, distill_lr: float = 3e-4,
+                         min_masking_rate: float = 0.3, lr: float = 2e-3,
+                         warmup_steps: int = 200, probe_every: int = 0,
                          log=print) -> Dict[str, float]:
     """Train the mid-scale teacher, self-distill it to K=N/step_ratio
     no-CFG steps, and score teacher_full / teacher_k (step-cut control) /
     student_k against the same held-out real set.  The protocol passes its
     discriminative bar when fid_teacher_k > fid_student_k by a margin the
-    split-half noise floor cannot explain."""
+    split-half noise floor cannot explain.
+
+    ``min_masking_rate=0.3`` (the reference's train_muse.py:160 clip) is
+    load-bearing at this scale: with the plain cosine draw most steps leave
+    enough visible context that the square's color is locally inferable and
+    cross-attention never earns gradient — the 2500-step cfg=4 run measured
+    teacher color accuracy 0.21 vs 0.167 chance (committed FAIL rows).
+    ``probe_every`` logs teacher color accuracy at cfg 0/2 during training
+    so a non-conditioning run is visible long before stage 4."""
     import jax
     import jax.numpy as jnp
+
+    # recompiles during probes/scoring hit the persistent XLA cache
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_muse")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ..ops.sampling import cosine_schedule
     from ..training import trainer as T
@@ -210,19 +224,37 @@ def run_distill_midscale(train_steps: int = 2500, vq_steps: int = 600,
     empty_ids = jnp.asarray(tokenizer([""])["input_ids"])
     ehs_e, _, pooled_e = text_encoder.encode(empty_ids)
 
-    def batch_for(i):
-        colors = [names[(i + j) % len(names)] for j in range(batch)]
-        pixels = make_scene_images(colors, rs)
-        tokens = vq.get_code(jnp.asarray(pixels))
-        texts = [f"a {c} square" for c in colors]
+    # the color rotation cycles with period len(names): encode each of the
+    # 6 distinct text batches ONCE (a per-step encode costs a tunnel
+    # dispatch; over thousands of steps that dwarfs the math)
+    text_cache = []
+    for r in range(len(names)):
+        texts = [f"a {names[(r + j) % len(names)]} square"
+                 for j in range(batch)]
         ids = jnp.asarray(tokenizer(texts)["input_ids"])
         hs, _, pooled = text_encoder.encode(ids)
+        text_cache.append((hs[-2], pooled))
+
+    micro = jnp.asarray([[CANVAS, CANVAS, 0, 0, 6.0]] * batch, jnp.float32)
+    _chunk_tokens: Dict[int, np.ndarray] = {}
+    _CHUNK = 8  # steps of fresh images tokenized per get_code dispatch
+
+    def batch_for(i):
+        if i not in _chunk_tokens:
+            _chunk_tokens.clear()
+            pixels = np.concatenate([
+                make_scene_images(
+                    [names[(k + j) % len(names)] for j in range(batch)], rs)
+                for k in range(i, i + _CHUNK)])
+            toks = np.asarray(vq.get_code(jnp.asarray(pixels)))
+            for o in range(_CHUNK):
+                _chunk_tokens[i + o] = toks[o * batch:(o + 1) * batch]
+        hs2, pooled = text_cache[i % len(names)]
         return {
-            "image_tokens": tokens,
-            "encoder_hidden_states": hs[-2],
+            "image_tokens": jnp.asarray(_chunk_tokens[i]),
+            "encoder_hidden_states": hs2,
             "cond_embeds": pooled,
-            "micro_conds": jnp.asarray([[CANVAS, CANVAS, 0, 0, 6.0]] * batch,
-                                       jnp.float32),
+            "micro_conds": micro,
             # CFG cond-dropout inputs: without these the teacher never sees
             # the empty conditioning, its unconditional branch is out of
             # distribution, and guidance AMPLIFIES noise instead of quality —
@@ -234,12 +266,29 @@ def run_distill_midscale(train_steps: int = 2500, vq_steps: int = 600,
             "empty_cond_embeds": pooled_e,
         }
 
+    def probe(params, step):
+        model.params = params  # params are a jit ARG — no recompile
+        pp = [f"a {names[k % len(names)]} square" for k in range(48)]
+        accs = {}
+        for cfg_p in (0.0, 2.0):
+            imgs = _sample(model, vq, text_encoder, tokenizer, pp,
+                           jax.random.PRNGKey(9999), teacher_timesteps, cfg_p)
+            accs[cfg_p] = scene_color_accuracy(imgs, pp)
+        log(f"  probe@{step}: acc(cfg=0)={accs[0.0]:.3f} "
+            f"acc(cfg=2)={accs[2.0]:.3f} (chance {1 / len(names):.3f})")
+
     log("stage 2: training teacher")
-    tx = get_optimizer("adamw", 2e-3, max_grad_norm=1.0)
+    import optax
+
+    warmup = min(warmup_steps, max(train_steps // 10, 1))
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, train_steps, end_value=lr * 0.05)
+    tx = get_optimizer("adamw", schedule, max_grad_norm=1.0)
     state = T.create_train_state(model.params, tx)
     step_fn = T.make_uvit_train_step(model.module, tx, cosine_schedule,
                                      model.config.mask_token_id,
                                      codebook_size=256,
+                                     min_masking_rate=min_masking_rate,
                                      cond_dropout_prob=0.1)
     key = jax.random.PRNGKey(seed)
     first_loss = last_loss = None
@@ -250,6 +299,8 @@ def run_distill_midscale(train_steps: int = 2500, vq_steps: int = 600,
             first_loss = float(metrics["loss"])
         if (i + 1) % 500 == 0:
             log(f"  step {i + 1}: loss={float(metrics['loss']):.4f}")
+        if probe_every and (i + 1) % probe_every == 0:
+            probe(state.params, i + 1)
         last_loss = float(metrics["loss"])
     log(f"  teacher loss {first_loss:.4f} -> {last_loss:.4f}")
     teacher_params = jax.tree_util.tree_map(

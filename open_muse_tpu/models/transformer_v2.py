@@ -101,7 +101,8 @@ def _use_fused_attn_sublayer(cfg, x) -> bool:
                                             use_pallas_attn_sublayer)
 
     if x is None or x.ndim != 3 or not sublayer_shapes_supported(
-            x.shape[1], cfg.hidden_size, cfg.num_attention_heads):
+            x.shape[1], cfg.hidden_size, cfg.num_attention_heads,
+            itemsize=x.dtype.itemsize):
         return False
     return use_pallas_attn_sublayer()
 

@@ -155,7 +155,8 @@ def use_pallas_attn_sublayer() -> bool:
 
 
 def sublayer_shapes_supported(seq: int, hidden: int, num_heads: int,
-                              kv_len: int | None = None) -> bool:
+                              kv_len: int | None = None,
+                              itemsize: int = 2) -> bool:
     """Kernel constraints: 128-aligned hidden, head_dim 64 in even-head pairs
     (every slice then lands on a 128-lane boundary), and the ACTUAL scoped-
     VMEM demand of both kernels at these shapes must fit — at SOME head-pair
@@ -165,7 +166,10 @@ def sublayer_shapes_supported(seq: int, hidden: int, num_heads: int,
     round 5 stages the softmax so those trunks and the seq-1024 full-res
     config fit instead of falling back).  ``kv_len`` sizes the cross
     kernel's padded context; when None the CLIP-length default (77 -> 128)
-    is assumed."""
+    is assumed.  ``itemsize`` is the activation dtype's byte width — fp32
+    trunks (benchmark_models.py sweeps them) double most of the footprint,
+    so shapes that fit in bf16 can overflow in fp32 (measured: the d=1024
+    cross backward needs 36.7 MB fp32 vs the 32 MB scoped limit)."""
     if hidden % 128 or num_heads <= 0 or hidden // num_heads != 64:
         return False
     if num_heads % 2:
@@ -173,10 +177,11 @@ def sublayer_shapes_supported(seq: int, hidden: int, num_heads: int,
     if not (8 <= seq and seq % 8 == 0):
         return False
     kv_pad = ((kv_len or 77) + 127) // 128 * 128
-    return (_pick_stage(lambda sp: _self_vmem_bytes(seq, hidden, num_heads,
-                                                    sp), num_heads) is not None
+    return (_pick_stage(lambda sp: _self_vmem_bytes(
+                seq, hidden, num_heads, sp, itemsize), num_heads) is not None
             and _pick_stage(lambda sp: _cross_vmem_bytes(
-                seq, hidden, num_heads, kv_pad, sp), num_heads) is not None)
+                seq, hidden, num_heads, kv_pad, sp,
+                itemsize), num_heads) is not None)
 
 
 def _interpret() -> bool:
@@ -329,8 +334,9 @@ def _adaln_spec(dim):
 def _self_primal(x, res, ln_scale, adaln, wqkv, wout, num_heads, eps,
                  interpret):
     b, s, d = x.shape
-    sp, limit = (_pick_stage(lambda p: _self_vmem_bytes(s, d, num_heads, p),
-                             num_heads) or (num_heads // 2, VMEM_LIMIT))
+    sp, limit = (_pick_stage(lambda p: _self_vmem_bytes(
+                     s, d, num_heads, p, x.dtype.itemsize),
+                     num_heads) or (num_heads // 2, VMEM_LIMIT))
     out, res_out = pl.pallas_call(
         functools.partial(_self_kernel, num_heads=num_heads, eps=eps, dim=d,
                           stage_pairs=sp),
@@ -357,9 +363,9 @@ def _cross_primal(x, res, ln_scale, adaln, wq, wout, kv, num_heads, eps,
                   kv_len, interpret):
     b, s, d = x.shape
     l_pad = kv.shape[1]
-    sp, limit = (_pick_stage(lambda p: _cross_vmem_bytes(s, d, num_heads,
-                                                         l_pad, p),
-                             num_heads) or (num_heads // 2, VMEM_LIMIT))
+    sp, limit = (_pick_stage(lambda p: _cross_vmem_bytes(
+                     s, d, num_heads, l_pad, p, x.dtype.itemsize),
+                     num_heads) or (num_heads // 2, VMEM_LIMIT))
     out, res_out = pl.pallas_call(
         functools.partial(_cross_kernel, num_heads=num_heads, eps=eps, dim=d,
                           kv_len=kv_len, stage_pairs=sp),
@@ -748,7 +754,7 @@ def _self_bwd(num_heads, eps, interpret, saved, g):
     pick = use_pallas_attn_bwd() and _bwd_stage(
         x.shape[1], x.shape[2], num_heads,
         lambda sp: _self_bwd_vmem_bytes(x.shape[1], x.shape[2], num_heads,
-                                        sp))
+                                        sp, x.dtype.itemsize))
     if pick:
         return _self_bwd_pallas(x, res, ln_scale, adaln, wqkv, wout,
                                 g_out, g_res, num_heads, eps, interpret,
@@ -782,7 +788,8 @@ def _cross_bwd(num_heads, eps, kv_len, interpret, saved, g):
             and _bwd_stage(
                 x.shape[1], x.shape[2], num_heads,
                 lambda sp: _cross_bwd_vmem_bytes(
-                    x.shape[1], x.shape[2], num_heads, kv.shape[1], sp)))
+                    x.shape[1], x.shape[2], num_heads, kv.shape[1], sp,
+                    x.dtype.itemsize)))
     if pick:
         return _cross_bwd_pallas(x, res, ln_scale, adaln, wq, wout, kv,
                                  g_out, g_res, num_heads, eps, kv_len,

@@ -84,6 +84,11 @@ def test_shape_gate():
     assert ok(1024, 1024, 16)         # seq-1024 full-res trunk via staging
     assert ok(512, 1024, 16)          # the advisor round-4 overflow shape
     assert not ok(30, 1024, 16)       # seq not a multiple of 8
+    # fp32 doubles the footprint: the seq-1024 trunk fits in bf16 only
+    # (measured on-chip: at itemsize=2 budgets, fp32 d=1024 backwards
+    # overflow scoped VMEM by 4.7 MB instead of falling back)
+    assert not ok(1024, 1024, 16, itemsize=4)
+    assert ok(256, 1024, 16, itemsize=4)
 
 
 def test_stage_picks():
