@@ -42,6 +42,7 @@ def test_midscale_protocol_smoke():
     m = run_distill_midscale(train_steps=3, vq_steps=3, distill_steps=2,
                              n_eval=6, hidden=128, layers=1, batch=6,
                              teacher_timesteps=4, step_ratio=2,
+                             probe_every=2,  # covers the in-training probe
                              log=lambda *a: None)
     for k in ("fid_teacher_full", "fid_teacher_k", "fid_student_k",
               "fid_split_half_floor", "color_accuracy_student_k"):
