@@ -189,7 +189,9 @@ def distill_midscale_mode(args):
         distill_steps=args.distill_steps, n_eval=args.n_eval,
         seed=args.seed, teacher_timesteps=args.teacher_timesteps,
         step_ratio=args.step_ratio, guidance_scale=args.cfg,
-        batch=args.batch_size, probe_every=args.probe_every)
+        batch=args.batch_size, probe_every=args.probe_every,
+        soft_weight=args.soft_weight,
+        distill_eval_every=args.distill_eval_every)
     proto = (f"distill-midscale(seed={args.seed},steps={args.train_steps},"
              f"{int(m['layers'])}L/h{int(m['hidden'])},256tok,"
              f"N={args.teacher_timesteps}->K={int(m['student_timesteps'])},"
@@ -498,6 +500,12 @@ def main(argv=None):
     p.add_argument("--probe-every", type=int, default=0,
                    help="distill-midscale: log teacher color accuracy at "
                         "cfg 0/2 every N training steps (0 = off)")
+    p.add_argument("--soft-weight", type=float, default=0.5,
+                   help="distill-midscale: weight of the guidance-"
+                        "distillation KL term (distill.py soft_weight)")
+    p.add_argument("--distill-eval-every", type=int, default=0,
+                   help="distill-midscale: score the EMA student every N "
+                        "distill steps (0 = final only)")
     p.add_argument("--out", default=os.path.join(ARTIFACTS,
                                                  "quality_ours.csv"))
     args = p.parse_args(argv)

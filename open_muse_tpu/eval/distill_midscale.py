@@ -182,6 +182,8 @@ def run_distill_midscale(train_steps: int = 6000, vq_steps: int = 600,
                          batch: int = 16, distill_lr: float = 3e-4,
                          min_masking_rate: float = 0.3, lr: float = 2e-3,
                          warmup_steps: int = 200, probe_every: int = 0,
+                         soft_weight: float = 0.5,
+                         distill_eval_every: int = 0,
                          log=print) -> Dict[str, float]:
     """Train the mid-scale teacher, self-distill it to K=N/step_ratio
     no-CFG steps, and score teacher_full / teacher_k (step-cut control) /
@@ -307,37 +309,9 @@ def run_distill_midscale(train_steps: int = 6000, vq_steps: int = 600,
         lambda x: jnp.array(x, copy=True), state.params)
 
     k_steps = teacher_timesteps // step_ratio
-    log(f"stage 3: self-distilling {teacher_timesteps}-step "
-        f"cfg={guidance_scale} teacher -> {k_steps}-step no-cfg student")
-    seq_len = (CANVAS // vq.config.reduction_factor) ** 2
-    dtx = get_optimizer("adamw", distill_lr, max_grad_norm=1.0)
-    dstate = T.create_train_state(
-        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
-                               teacher_params), dtx)
-    dstep = make_distill_step(
-        model.module, dtx, mask_token_id=model.config.mask_token_id,
-        teacher_timesteps=teacher_timesteps, step_ratio=step_ratio,
-        guidance_scale=guidance_scale, temperature=(1.0, 0.0),
-        seq_len=seq_len, ema_decay=None)
-    dkey = jax.random.PRNGKey(seed + 3)
-    dfirst = dlast = None
-    for i in range(distill_steps):
-        dkey, sub = jax.random.split(dkey)
-        texts = [f"a {names[(i + j) % len(names)]} square"
-                 for j in range(batch)]
-        ids = jnp.asarray(tokenizer(texts)["input_ids"])
-        hs, _, pooled = text_encoder.encode(ids)
-        dbatch = {"encoder_hidden_states": hs[-2], "cond_embeds": pooled,
-                  "micro_conds": jnp.asarray(
-                      [[CANVAS, CANVAS, 0, 0, 6.0]] * batch, jnp.float32),
-                  "empty_embeds": ehs_e[-2], "empty_cond_embeds": pooled_e}
-        dstate, metrics = dstep(dstate, teacher_params, dbatch, sub)
-        if i == 0:
-            dfirst = float(metrics["loss"])
-        dlast = float(metrics["loss"])
-    log(f"  distill loss {dfirst:.4f} -> {dlast:.4f}")
 
-    log("stage 4: scoring teacher_full / teacher_k / student_k")
+    # real set + extractor built before stage 3 so intermediate student
+    # evals can reuse them
     eval_colors = [names[i % len(names)] for i in range(n_eval)]
     prompts = [f"a {c} square" for c in eval_colors]
     real_rs = np.random.RandomState(seed + 1)
@@ -351,8 +325,7 @@ def run_distill_midscale(train_steps: int = 6000, vq_steps: int = 600,
     gen_key = jax.random.PRNGKey(seed + 2)
 
     def score(params, timesteps, cfg, tag):
-        model.params = params
-        model._jit_cache.clear()
+        model.params = params  # params are a jit ARG — no recompile
         images = _sample(model, vq, text_encoder, tokenizer, prompts,
                          gen_key, timesteps, cfg)
         fid = fid_between_image_sets(real_images, images, extractor)
@@ -361,11 +334,50 @@ def run_distill_midscale(train_steps: int = 6000, vq_steps: int = 600,
             f"acc={acc:.2f}")
         return fid, acc
 
+    log(f"stage 3: self-distilling {teacher_timesteps}-step "
+        f"cfg={guidance_scale} teacher -> {k_steps}-step no-cfg student "
+        f"(soft_weight={soft_weight}, EMA student)")
+    seq_len = (CANVAS // vq.config.reduction_factor) ** 2
+    dwarmup = min(100, max(distill_steps // 10, 1))
+    dschedule = optax.warmup_cosine_decay_schedule(
+        0.0, distill_lr, dwarmup, distill_steps, end_value=distill_lr * 0.05)
+    dtx = get_optimizer("adamw", dschedule, max_grad_norm=1.0)
+    # the student is the EMA of the distilled params (the reference
+    # evaluates EMA checkpoints throughout — train_muse.py ema handling)
+    dstate = T.create_train_state(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                               teacher_params), dtx, with_ema=True)
+    dstep = make_distill_step(
+        model.module, dtx, mask_token_id=model.config.mask_token_id,
+        teacher_timesteps=teacher_timesteps, step_ratio=step_ratio,
+        guidance_scale=guidance_scale, temperature=(1.0, 0.0),
+        seq_len=seq_len, ema_decay=0.999, soft_weight=soft_weight)
+    dkey = jax.random.PRNGKey(seed + 3)
+    dfirst = dlast = None
+    micro_d = jnp.asarray([[CANVAS, CANVAS, 0, 0, 6.0]] * batch, jnp.float32)
+    for i in range(distill_steps):
+        dkey, sub = jax.random.split(dkey)
+        hs2, pooled = text_cache[i % len(names)]
+        dbatch = {"encoder_hidden_states": hs2, "cond_embeds": pooled,
+                  "micro_conds": micro_d,
+                  "empty_embeds": ehs_e[-2], "empty_cond_embeds": pooled_e}
+        dstate, metrics = dstep(dstate, teacher_params, dbatch, sub)
+        if i == 0:
+            dfirst = float(metrics["loss"])
+        if distill_eval_every and (i + 1) % distill_eval_every == 0 \
+                and (i + 1) < distill_steps:
+            score(dstate.ema_params, k_steps, 0.0,
+                  f"student_k(ema)@{i + 1}")
+        dlast = float(metrics["loss"])
+    log(f"  distill loss {dfirst:.4f} -> {dlast:.4f}")
+
+    log("stage 4: scoring teacher_full / teacher_k / student_k")
     fid_tf, acc_tf = score(teacher_params, teacher_timesteps,
                            guidance_scale, "teacher_full")
     fid_tk, acc_tk = score(teacher_params, k_steps, 0.0,
                            "teacher_k (step-cut control)")
-    fid_sk, acc_sk = score(dstate.params, k_steps, 0.0, "student_k")
+    score(dstate.params, k_steps, 0.0, "student_k (raw, diagnostic)")
+    fid_sk, acc_sk = score(dstate.ema_params, k_steps, 0.0, "student_k")
 
     return {
         "n_params_m": n_params / 1e6,
