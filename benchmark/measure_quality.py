@@ -211,8 +211,9 @@ def distill_midscale_mode(args):
             f"UNDISTILLED teacher at {int(m['student_timesteps'])} steps "
             f"no CFG (the step-cut control the metric must separate)"),
         row("fid_student_k", m["fid_student_k"], seeded,
-            f"distilled student at {int(m['student_timesteps'])} steps, "
-            f"no CFG"),
+            f"distilled EMA student at {int(m['student_timesteps'])} steps, "
+            f"no CFG ({args.distill_steps} distill steps, "
+            f"soft_weight={args.soft_weight})"),
         row("fid_split_half_floor", m["fid_split_half_floor"], seeded,
             "two real half-sets (estimator noise floor)"),
         row("color_accuracy_teacher_full", m["color_accuracy_teacher_full"],
