@@ -50,7 +50,7 @@ TEXT_DIM = 768
 
 
 def build_step_and_state(batch_size: int, remat: bool = False,
-                         accum: int = 1):
+                         accum: int = 1, optimizer: str = "adamw"):
     """``accum > 1`` wraps the optimizer in ``optax.MultiSteps``: the jitted
     program is the MICRO-batch (batch_size // accum) fwd+bwd plus an
     accumulator update, and every ``accum``-th call applies adamw.  This is
@@ -73,7 +73,19 @@ def build_step_and_state(batch_size: int, remat: bool = False,
     batch_size //= accum
     model = MaskGiTUViT_v2(dtype=jnp.bfloat16, remat=remat)
     cfg = model.config
-    tx = optax.adamw(1e-4, b1=0.9, b2=0.999, weight_decay=0.01)
+    if optimizer == "adamw8bit":
+        # blockwise int8 moments (training/quant8.py, the bitsandbytes
+        # AdamW8bit analog the reference dispatches in train_muse.py:413-420):
+        # drops the optimizer-state HBM traffic from ~9.6 GB to ~2.4 GB per
+        # step at 603.5M params, paying searchsorted/gather VPU work to
+        # (de)quantize inside the fused step.  Measured head-to-head against
+        # the fp32-moment row to settle whether the train step is
+        # bandwidth-bound enough for the trade to win.
+        from open_muse_tpu.training.quant8 import adamw8bit
+
+        tx = adamw8bit(1e-4, b1=0.9, b2=0.999, weight_decay=0.01)
+    else:
+        tx = optax.adamw(1e-4, b1=0.9, b2=0.999, weight_decay=0.01)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     state = create_train_state(model.params, tx, with_ema=True)
@@ -104,10 +116,11 @@ def _remat_value(flag):
     return {"full": True, "dots": "dots"}.get(flag, False)
 
 
-def flops_via_cpu_subprocess(batch_size: int, remat=None):
+def flops_via_cpu_subprocess(batch_size: int, remat=None, optimizer="adamw"):
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "artifacts", ".flops_cache.json")
-    key = f"train-{batch_size}" + (f"-remat-{remat}" if remat else "")
+    key = (f"train-{batch_size}" + (f"-remat-{remat}" if remat else "")
+           + (f"-opt-{optimizer}" if optimizer != "adamw" else ""))
     cache = {}
     if os.path.isfile(cache_path):
         try:
@@ -121,7 +134,8 @@ def flops_via_cpu_subprocess(batch_size: int, remat=None):
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flops",
-             str(batch_size)] + (["--remat", remat] if remat else []),
+             str(batch_size)] + (["--remat", remat] if remat else [])
+            + (["--optimizer", optimizer] if optimizer != "adamw" else []),
             env=env, capture_output=True, text=True, timeout=1800)
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
@@ -137,12 +151,12 @@ def flops_via_cpu_subprocess(batch_size: int, remat=None):
 
 
 def measure(batch_size: int, steps: int, remat: bool = False,
-            accum: int = 1):
+            accum: int = 1, optimizer: str = "adamw"):
     import jax
     import jax.numpy as jnp
 
     step_fn, state, batch, n_params = build_step_and_state(batch_size, remat,
-                                                           accum)
+                                                           accum, optimizer)
     key = jax.random.PRNGKey(0)
     # warmup: compile + one settled optimizer update (accum micro-calls)
     for i in range(2 * accum):
@@ -158,17 +172,21 @@ def measure(batch_size: int, steps: int, remat: bool = False,
     return dt, n_params
 
 
-SWEEP_CASES = [  # (batch_size, remat, accum) — ordered cheap-to-expensive
-    (16, "off", 1), (16, "dots", 1), (16, "full", 1),
-    (32, "off", 1), (32, "dots", 1), (32, "full", 1),
-    (64, "off", 1), (64, "dots", 1), (64, "full", 1),
-    (128, "full", 1),
+SWEEP_CASES = [  # (batch_size, remat, accum, optimizer) — cheap-to-expensive
+    (16, "off", 1, "adamw"), (16, "dots", 1, "adamw"), (16, "full", 1, "adamw"),
+    (32, "off", 1, "adamw"), (32, "dots", 1, "adamw"), (32, "full", 1, "adamw"),
+    (64, "off", 1, "adamw"), (64, "dots", 1, "adamw"), (64, "full", 1, "adamw"),
+    (128, "full", 1, "adamw"),
     # grad-accumulation workaround rows for the compile-helper-blocked
     # monolithic programs (round-5 verdict item 2): micro-program = bs32/bs64
-    (64, "off", 2), (128, "off", 4), (128, "full", 2),
+    (64, "off", 2, "adamw"), (128, "off", 4, "adamw"),
+    (128, "full", 2, "adamw"),
+    # int8-moment optimizer head-to-head vs the fp32-moment bs32 row
+    # (round-5: measure the adamw+EMA HBM floor trade)
+    (32, "off", 1, "adamw8bit"),
 ]
-SWEEP_FIELDS = ["batch_size", "remat", "accum", "device", "step_ms",
-                "imgs_per_sec", "tokens_per_sec", "params_m",
+SWEEP_FIELDS = ["batch_size", "remat", "accum", "optimizer", "device",
+                "step_ms", "imgs_per_sec", "tokens_per_sec", "params_m",
                 "tflops_exec_est", "tflops_model_est", "mfu_exec_pct",
                 "mfu_model_pct", "flops_source", "error"]
 
@@ -180,26 +198,33 @@ def run_sweep(csv_path: str, steps: int, timeout_s: int) -> int:
     existing = {}
     if os.path.isfile(csv_path):
         with open(csv_path, newline="") as f:
-            existing = {(r["batch_size"], r["remat"],
-                         r.get("accum") or "1"): r
-                        for r in csv.DictReader(f)}
+            for r in csv.DictReader(f):
+                # pre-optimizer-column rows were all fp32-moment adamw
+                r["optimizer"] = r.get("optimizer") or "adamw"
+                r["accum"] = r.get("accum") or "1"
+                existing[(r["batch_size"], r["remat"], r["accum"],
+                          r["optimizer"])] = r
 
     def append(row):
         existing[(str(row["batch_size"]), row["remat"],
-                  str(row.get("accum") or 1))] = row
+                  str(row.get("accum") or 1),
+                  row.get("optimizer") or "adamw")] = row
         os.makedirs(os.path.dirname(csv_path), exist_ok=True)
-        with open(csv_path, "w", newline="") as f:
+        tmp = csv_path + ".tmp"
+        with open(tmp, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=SWEEP_FIELDS,
                                extrasaction="ignore")
             w.writeheader()
             for r in sorted(existing.values(),
                             key=lambda r: (int(r["batch_size"]), r["remat"],
-                                           int(r.get("accum") or 1))):
+                                           int(r.get("accum") or 1),
+                                           r.get("optimizer") or "adamw")):
                 w.writerow(r)
+        os.replace(tmp, csv_path)
 
-    for bs, remat, accum in SWEEP_CASES:
-        if (str(bs), remat, str(accum)) in existing:
-            print(f"# skip bs={bs} remat={remat} accum={accum} "
+    for bs, remat, accum, opt in SWEEP_CASES:
+        if (str(bs), remat, str(accum), opt) in existing:
+            print(f"# skip bs={bs} remat={remat} accum={accum} opt={opt} "
                   "(already measured)")
             continue
         cmd = [sys.executable, os.path.abspath(__file__),
@@ -208,7 +233,9 @@ def run_sweep(csv_path: str, steps: int, timeout_s: int) -> int:
             cmd += ["--remat", remat]
         if accum > 1:
             cmd += ["--accum", str(accum)]
-        print(f"# running bs={bs} remat={remat} accum={accum} ...",
+        if opt != "adamw":
+            cmd += ["--optimizer", opt]
+        print(f"# running bs={bs} remat={remat} accum={accum} opt={opt} ...",
               flush=True)
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -219,13 +246,16 @@ def run_sweep(csv_path: str, steps: int, timeout_s: int) -> int:
                     row = json.loads(line)
             if row is None:
                 row = {"batch_size": bs, "remat": remat, "accum": accum,
+                       "optimizer": opt,
                        "error": f"no output (rc={proc.returncode}): "
                                 f"{proc.stderr[-200:]}"}
         except subprocess.TimeoutExpired:
             row = {"batch_size": bs, "remat": remat, "accum": accum,
+                   "optimizer": opt,
                    "error": f"timeout after {timeout_s}s (compile wedged?)"}
         row.setdefault("remat", remat)
         row.setdefault("accum", accum)
+        row.setdefault("optimizer", opt)
         row.setdefault("error", "")
         append(row)
         print(json.dumps(row), flush=True)
@@ -258,6 +288,12 @@ def main(argv=None):
                              "monolithic program crashes the remote AOT "
                              "compile helper measure through accum micro-"
                              "calls per optimizer update")
+    parser.add_argument("--optimizer", choices=["adamw", "adamw8bit"],
+                        default="adamw",
+                        help="adamw8bit = blockwise int8 Adam moments "
+                             "(training/quant8.py): ~4x less optimizer-state "
+                             "HBM traffic per step, paying (de)quantize VPU "
+                             "work inside the fused program")
     parser.add_argument("--flops", type=int, metavar="BS",
                         help="print train-step FLOPs as JSON (CPU backend)")
     args = parser.parse_args(argv)
@@ -268,7 +304,8 @@ def main(argv=None):
     if args.flops:
         import jax
 
-        step_fn, state, batch, _ = build_step_and_state(args.flops, _remat_value(args.remat))
+        step_fn, state, batch, _ = build_step_and_state(
+            args.flops, _remat_value(args.remat), optimizer=args.optimizer)
         key = jax.random.PRNGKey(0)
         lowered = step_fn.lower(state, batch, key)
         ca = lowered.cost_analysis()
@@ -287,10 +324,11 @@ def main(argv=None):
     for bs in args.batch_sizes:
         try:
             dt, n_params = measure(bs, args.steps, _remat_value(args.remat),
-                                   args.accum)
+                                   args.accum, args.optimizer)
         except Exception as e:
             print(json.dumps({"metric": "train_step", "batch_size": bs,
                               "accum": args.accum,
+                              "optimizer": args.optimizer,
                               "error": str(e)[:300]}))
             continue
         # FLOPs of the program(s) actually executed: accum micro-programs
@@ -298,15 +336,21 @@ def main(argv=None):
         # the CPU-lowered micro module; they are O(params), negligible
         # against the fwd+bwd)
         micro = bs // args.accum
-        flops_exec, source = flops_via_cpu_subprocess(micro, args.remat)
-        flops_model = (flops_via_cpu_subprocess(micro, None)[0]
-                       if args.remat else flops_exec)
+        flops_exec, source = flops_via_cpu_subprocess(micro, args.remat,
+                                                      args.optimizer)
+        # model FLOPs (useful work) always come from the fp32-moment adamw
+        # program: the quantize/dequantize element ops are overhead of the
+        # representation, not model compute
+        flops_model = (flops_via_cpu_subprocess(micro, None, "adamw")[0]
+                       if (args.remat or args.optimizer != "adamw")
+                       else flops_exec)
         if flops_exec:
             flops_exec *= args.accum
         if flops_model:
             flops_model *= args.accum
         row = {"metric": "train_step", "batch_size": bs,
                "remat": args.remat or "off", "accum": args.accum,
+               "optimizer": args.optimizer,
                "device": device, "step_ms": round(dt * 1e3, 1),
                "imgs_per_sec": round(bs / dt, 1),
                "tokens_per_sec": round(bs * SEQ / dt),
