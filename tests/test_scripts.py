@@ -396,14 +396,48 @@ def test_train_sweep_resumes(tmp_path, capsys):
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=SWEEP_FIELDS)
         w.writeheader()
-        for bs, remat, accum in SWEEP_CASES:
+        for bs, remat, accum, opt in SWEEP_CASES:
             w.writerow({"batch_size": bs, "remat": remat, "accum": accum,
-                        "step_ms": "1.0", "error": ""})
+                        "optimizer": opt, "step_ms": "1.0", "error": ""})
     run_sweep(csv_path, steps=1, timeout_s=1)  # all cached -> no subprocesses
     out = capsys.readouterr().out
     assert out.count("# skip") == len(SWEEP_CASES)
     with open(csv_path, newline="") as f:
         assert len(list(csv.DictReader(f))) == len(SWEEP_CASES)
+
+
+def test_train_sweep_migrates_pre_optimizer_rows(tmp_path, capsys):
+    """Rows from before the optimizer column backfill as fp32-moment adamw:
+    they are still skipped on resume (not re-measured) and survive the
+    rewrite with optimizer=adamw."""
+    import csv
+
+    from benchmark.bench_train_step import SWEEP_CASES, run_sweep
+
+    old_fields = ["batch_size", "remat", "accum", "device", "step_ms",
+                  "imgs_per_sec", "tokens_per_sec", "params_m",
+                  "tflops_exec_est", "tflops_model_est", "mfu_exec_pct",
+                  "mfu_model_pct", "flops_source", "error"]
+    csv_path = str(tmp_path / "train_throughput.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=old_fields)
+        w.writeheader()
+        for bs, remat, accum, opt in SWEEP_CASES:
+            if opt == "adamw":  # the only optimizer that existed then
+                w.writerow({"batch_size": bs, "remat": remat, "accum": accum,
+                            "step_ms": "1.0", "error": ""})
+        # the adamw8bit case must NOT be skipped; stub it out by also writing
+        # it under the old schema is impossible, so expect exactly one run
+    run_sweep(csv_path, steps=1, timeout_s=1)
+    out = capsys.readouterr().out
+    n_adamw = sum(1 for c in SWEEP_CASES if c[3] == "adamw")
+    assert out.count("# skip") == n_adamw
+    assert out.count("# running") == len(SWEEP_CASES) - n_adamw
+    with open(csv_path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == len(SWEEP_CASES)
+    migrated = [r for r in rows if r["step_ms"] == "1.0"]
+    assert migrated and all(r["optimizer"] == "adamw" for r in migrated)
 
 
 def test_muse_perf_distilled_flops_halve():
